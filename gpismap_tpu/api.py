@@ -1,0 +1,254 @@
+"""User-facing online GPIS mappers.
+
+GPisMap2D mirrors the full reference command surface
+(update/test/reset, reference: cpp/include/GPisMap.h:103-105 and
+mex/mexGPisMap.cpp) as a host orchestrator that drives:
+  * the native spatial index (csrc/gpis_index.cpp) for tree mutations
+  * jitted device stages (models/mapper2d.py) for all GP math
+  * the device-resident cluster-GP store (models/cluster.py) for test()
+
+GPisMap3D (models/mapper3d.py) adds setCamera/getAllPoints.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .config import (CAPACITY_2D, MAPPER_2D, OBSGP_1D, TREE_2D,
+                     CapacityParam, MapperParam, ObsGPParam, TreeParam)
+from .models import cluster, mapper2d, obsgp
+from .runtime import SpatialIndex
+
+
+def _next_pow2(n: int, lo: int = 64) -> int:
+    return max(lo, 1 << max(0, (n - 1)).bit_length())
+
+
+class GPisMap2D:
+    """Online continuous 2D SDF mapper from LiDAR scans.
+
+    update(thetas, ranges, pose6) ingests one scan with pose
+    [tx, ty, R00, R10, R01, R11] (column-major 2x2, matching the mex
+    convention, mexGPisMap.cpp:57-67 / demo_gpisMap.m:49-51);
+    test(x) returns [N, 6] = [f, gx, gy, var_f, var_gx, var_gy]
+    (mexGPisMap.cpp:99).
+    """
+
+    def __init__(self, params: MapperParam = MAPPER_2D,
+                 obs_param: ObsGPParam = OBSGP_1D,
+                 tree: TreeParam = TREE_2D,
+                 cap: CapacityParam = CAPACITY_2D):
+        self.p = params
+        self.op = obs_param
+        self.tp = tree
+        self.cap = cap
+        self.dim = 2
+        self.index = SpatialIndex(self.dim, tree, max_slots=cap.max_cells)
+        self.store = cluster.make_store(cap, self.dim)
+        self.cell_size = 2.0 * tree.cluster_halfleng
+        # final root can double once past max_halfleng
+        # (quadtree.cpp:162-165): extent = 2 * max_halfleng
+        self.grid_half = int(round(2.0 * tree.max_halfleng / self.cell_size))
+        self.grid = cluster.build_grid(np.zeros((0, self.dim), np.int64),
+                                       np.zeros(0, np.int32), self.dim,
+                                       self.grid_half)
+        self._search_half = params.map_scale_param * 4.0  # GPisMap.cpp:680
+        self._noff = int((self._search_half + self.cell_size)
+                         / self.cell_size)
+        self.frame = 0
+        self.stats: dict = {}
+
+    # ------------------------------------------------------------------
+    def reset(self):
+        """Drop all map state (mexGPisMap.cpp:123-130)."""
+        self.index.reset()
+        self.store = cluster.make_store(self.cap, self.dim)
+        self.grid = cluster.build_grid(np.zeros((0, self.dim), np.int64),
+                                       np.zeros(0, np.int32), self.dim,
+                                       self.grid_half)
+        self.frame = 0
+
+    # ------------------------------------------------------------------
+    def update(self, thetas: np.ndarray, ranges: np.ndarray,
+               pose: np.ndarray) -> None:
+        """Ingest one scan (reference: GPisMap::update, GPisMap.cpp:151-167).
+        """
+        thetas = np.asarray(thetas, np.float32).reshape(-1)
+        ranges = np.asarray(ranges, np.float32).reshape(-1)
+        pose = np.asarray(pose, np.float32).reshape(-1)
+        tr = pose[:2]
+        rot = pose[2:6].reshape(2, 2, order="F")
+
+        nb = _next_pow2(len(thetas))
+        th_p = np.full(nb, 0.0, np.float32)
+        rg_p = np.zeros(nb, np.float32)
+        th_p[:len(thetas)] = thetas
+        rg_p[:len(ranges)] = ranges
+        # padded beams carry invalid range 0 -> range-gated out
+
+        prep = mapper2d.preprocess_2d(jnp.asarray(th_p), jnp.asarray(rg_p),
+                                      jnp.asarray(tr), jnp.asarray(rot),
+                                      self.p)
+        n_valid = int(jnp.sum(prep.valid))
+        if n_valid <= 1:           # preproData failure (GPisMap.cpp:145-148)
+            return
+
+        # Step 1: observation regression (GPisMap.cpp:169-179)
+        obs = obsgp.fit_obsgp1d(prep.theta, prep.f, prep.valid, self.op,
+                                g_max=nb // self.op.group_size + 2)
+
+        # Step 2: re-evaluate existing in-view nodes (GPisMap.cpp:181-233)
+        self._update_map_points(obs, prep, tr, rot)
+
+        # Step 3: insert new measurements (GPisMap.cpp:457-572)
+        nm = mapper2d.newmeas_2d(obs, prep, jnp.asarray(rot), self.p,
+                                 self.op)
+        ok = np.asarray(nm.insert_ok)
+        if ok.any():
+            cand = np.asarray(nm.pos)[ok]
+            ids = self.index.try_insert(cand)
+            ins = ids >= 0
+            if ins.any():
+                self.index.set_node_data(
+                    ids[ins], np.full(ins.sum(), -self.p.fbias, np.float32),
+                    np.asarray(nm.noise)[ok][ins],
+                    np.asarray(nm.grad)[ok][ins],
+                    np.asarray(nm.grad_noise)[ok][ins])
+
+        # Step 4: retrain touched cluster GPs (GPisMap.cpp:596-663)
+        self._update_gps()
+        self.frame += 1
+
+    # ------------------------------------------------------------------
+    def _update_map_points(self, obs, prep, tr, rot):
+        if self.index.num_nodes == 0:
+            return
+        rmax = float(prep.range_obs_max)
+        cells, _ = self.index.query_cluster_cells(tr, rmax, cap=65536)
+        if len(cells) == 0:
+            return
+        centers, halfs, _ = self.index.cell_info(cells)
+        # range cull (GPisMap.cpp:196-199)
+        sqr = np.sum((centers - tr) ** 2, -1)
+        keep = sqr <= rmax * rmax + 2.0 * halfs * halfs
+        # FOV cull by cell corners (GPisMap.cpp:202-222)
+        corners = centers[:, None, :] + halfs[:, None, None] * np.array(
+            [[-1, 1], [1, 1], [-1, -1], [1, -1]], np.float32)
+        loc = (corners - tr) @ rot
+        loc = loc - np.asarray(self.p.sensor_offset, np.float32)
+        ang = np.arctan2(loc[..., 1], loc[..., 0])
+        lim = self.p.angle_obs_limit
+        within = np.any((ang > lim[0]) & (ang < lim[1]), axis=-1)
+        keep &= within
+        if not keep.any():
+            return
+        node_ids = [self.index.cell_nodes(c) for c in cells[keep]]
+        node_ids = np.concatenate(node_ids) if node_ids else np.zeros(
+            0, np.int32)
+        if len(node_ids) == 0:
+            return
+
+        d = self.index.dump_nodes()
+        k = _next_pow2(len(node_ids))
+        sel = np.zeros(k, np.int32)
+        sel[:len(node_ids)] = node_ids
+        valid = np.zeros(k, bool)
+        valid[:len(node_ids)] = True
+
+        rv = mapper2d.reeval_2d(
+            obs, jnp.asarray(d["pos"][sel]), jnp.asarray(d["grad"][sel]),
+            jnp.asarray(d["pos_sig"][sel]), jnp.asarray(d["grad_sig"][sel]),
+            jnp.asarray(valid), jnp.asarray(tr), jnp.asarray(rot), self.p,
+            self.op)
+
+        n = len(node_ids)
+        self.index.apply_reeval(
+            node_ids, np.asarray(rv.action)[:n], np.asarray(rv.pos)[:n],
+            np.asarray(rv.grad)[:n], np.asarray(rv.noise)[:n],
+            np.asarray(rv.grad_noise)[:n], np.asarray(rv.dbl_pos_sig)[:n],
+            np.asarray(rv.dbl_grad_sig)[:n], -self.p.fbias)
+
+    # ------------------------------------------------------------------
+    def _update_gps(self):
+        m = self.cap.gp_support
+        rt = self.index.collect_retrain(self.p.gp_radius_times, m,
+                                        self.cap.retrain_batch * 16)
+        b = rt["n"]
+        if b:
+            if rt["total"] > b:
+                self.stats["retrain_truncated"] = rt["total"] - b
+            d = self.index.dump_nodes()
+            chunk = self.cap.retrain_batch
+            for s in range(0, b, chunk):
+                e = min(s + chunk, b)
+                bb = e - s
+                sup = np.zeros((chunk, m), np.int32)
+                sup[:bb] = rt["support"][s:e]
+                slots = np.full(chunk, -1, np.int32)
+                slots[:bb] = rt["slots"][s:e]
+                vmask = sup >= 0
+                vmask[bb:] = False
+                supc = np.clip(sup, 0, None)
+                self.store = cluster.retrain_cells(
+                    self.store, jnp.asarray(slots), jnp.asarray(slots >= 0),
+                    jnp.asarray(d["pos"][supc]), jnp.asarray(d["grad"][supc]),
+                    jnp.asarray(d["val"][supc]),
+                    jnp.asarray(d["pos_sig"][supc]),
+                    jnp.asarray(d["grad_sig"][supc]), jnp.asarray(vmask),
+                    self.p.map_scale_param)
+        self.index.clear_active()
+        self._rebuild_grid()
+
+    def _rebuild_grid(self):
+        cells = self.index.all_cluster_cells(cap=self.cap.max_cells * 4)
+        if len(cells) == 0:
+            self.grid = cluster.build_grid(
+                np.zeros((0, self.dim), np.int64), np.zeros(0, np.int32),
+                self.dim, self.grid_half)
+            return
+        centers, _, slots = self.index.cell_info(cells)
+        coords = np.floor(centers / self.cell_size).astype(np.int64)
+        live = slots >= 0
+        self.grid = cluster.build_grid(coords[live], slots[live], self.dim,
+                                       self.grid_half)
+
+    # ------------------------------------------------------------------
+    def test(self, x: np.ndarray) -> np.ndarray:
+        """Batched SDF query (reference: GPisMap::test, GPisMap.cpp:765-810).
+
+        x: [N, 2] world points. Returns [N, 6]:
+        [f, gx, gy, var_f, var_gx, var_gy] with the unmapped sentinel
+        var_f = 1 + map_noise (GPisMap.cpp:685).
+        """
+        x = np.asarray(x, np.float32).reshape(-1, self.dim)
+        nq = x.shape[0]
+        qp = _next_pow2(nq)
+        xq = np.zeros((qp, self.dim), np.float32)
+        xq[:nq] = x
+        f, g, vf, vg = cluster.map_test(
+            self.store, self.grid, jnp.asarray(xq),
+            cell_size=self.cell_size, grid_half=self.grid_half,
+            noff=self._noff, search_half=self._search_half,
+            scale=self.p.map_scale_param, val_const=1.01,
+            grad_const=self.p.three_over_scale + 0.1,
+            var_thre=self.p.test_var_thre,
+            default_var=1.0 + self.p.map_noise_param,
+            tile=self.cap.test_tile, max_cells=self.cap.max_cells)
+        out = np.concatenate(
+            [np.asarray(f)[:, None], np.asarray(g),
+             np.asarray(vf)[:, None], np.asarray(vg)], axis=-1)
+        return out[:nq]
+
+    # ------------------------------------------------------------------
+    def get_all_points(self) -> np.ndarray:
+        """All live surface-node positions (parity with GPisMap3's
+        getAllPoints, GPisMap3.cpp:951-972; provided for 2D too)."""
+        d = self.index.dump_nodes()
+        return d["pos"][d["alive"]]
+
+    @property
+    def num_nodes(self) -> int:
+        return self.index.num_nodes

@@ -1,0 +1,278 @@
+"""Cluster-GP store + batched map test path.
+
+Device-resident per-cluster GP state in flat slot-indexed arrays (the
+HBM-resident replacement for the reference's per-QuadTree shared_ptr<OnGPIS>
+registry, quadtree.h:124), plus the batched SDF query with 3-nearest-cell
+variance blending (reference: GPisMap.cpp:665-763 / GPisMap3.cpp:794-902).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import CapacityParam, MapperParam, TreeParam
+from ..ops import gp, kernels, segmented
+
+
+class ClusterStore(NamedTuple):
+    """Per-slot trained cluster GPs. All arrays slot-indexed [C, ...]."""
+
+    x: jnp.ndarray         # [C, M, D] support positions
+    gradflag: jnp.ndarray  # [C, M] bool
+    valid: jnp.ndarray     # [C, M] bool
+    alpha: jnp.ndarray     # [C, M*(1+D)]
+    linv: jnp.ndarray      # [C, M*(1+D), M*(1+D)]
+    trained: jnp.ndarray   # [C] bool
+
+
+def make_store(cap: CapacityParam, dim: int) -> ClusterStore:
+    c, m = cap.max_cells, cap.gp_support
+    mp = m * (1 + dim)
+    return ClusterStore(
+        x=jnp.zeros((c, m, dim), jnp.float32),
+        gradflag=jnp.zeros((c, m), bool),
+        valid=jnp.zeros((c, m), bool),
+        alpha=jnp.zeros((c, mp), jnp.float32),
+        linv=jnp.zeros((c, mp, mp), jnp.float32),
+        trained=jnp.zeros((c,), bool),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("scale",))
+def retrain_cells(store: ClusterStore, slots: jnp.ndarray,
+                  slot_ok: jnp.ndarray, x: jnp.ndarray, grad: jnp.ndarray,
+                  val: jnp.ndarray, sigx: jnp.ndarray, siggrad: jnp.ndarray,
+                  valid: jnp.ndarray, scale: float) -> ClusterStore:
+    """Fit a batch of cluster GPs and scatter them into their slots.
+
+    TPU analogue of the thread fan-out in updateGPs (GPisMap.cpp:596-663):
+    one batched Cholesky over [B, M', M'] instead of per-cell Eigen llt on
+    CPU threads.
+
+    slots: [B] destination slot per cell (-1 rows dropped via slot_ok).
+    """
+    st = gp.fit_ongpis(x, grad, val, sigx, siggrad, valid, scale)
+    linv = gp.linv_from_chol(st.l)
+    c = store.x.shape[0]
+    tgt = jnp.where(slot_ok, slots, c)
+
+    def scat(old, new):
+        ext = jnp.concatenate([old, jnp.zeros((1,) + old.shape[1:],
+                                              old.dtype)])
+        return ext.at[tgt].set(new, mode='drop')[:-1]
+
+    return ClusterStore(
+        x=scat(store.x, x),
+        gradflag=scat(store.gradflag, st.gradflag),
+        valid=scat(store.valid, st.valid),
+        alpha=scat(store.alpha, st.alpha),
+        linv=scat(store.linv, linv),
+        trained=scat(store.trained, st.trained & jnp.any(valid, -1)),
+    )
+
+
+def clear_slots(store: ClusterStore, slots: jnp.ndarray,
+                slot_ok: jnp.ndarray) -> ClusterStore:
+    """Mark slots untrained (cells pruned by the index)."""
+    c = store.trained.shape[0]
+    tgt = jnp.where(slot_ok, slots, c)
+    ext = jnp.concatenate([store.trained, jnp.zeros((1,), bool)])
+    trained = ext.at[tgt].set(False, mode='drop')[:-1]
+    return store._replace(trained=trained)
+
+
+def _ongpis_eval_tile(store: ClusterStore, segs: jnp.ndarray,
+                      q: jnp.ndarray, scale: float, val_const: float,
+                      grad_const: float):
+    """Evaluate tiles of queries against their cells' GPs.
+
+    segs: [G] slot ids; q: [G, T, D]. Returns (f, grad, varf, vargrad).
+    """
+    sc = jnp.clip(segs, 0, store.x.shape[0] - 1)
+    xs = store.x[sc]
+    gf = store.gradflag[sc]
+    vl = store.valid[sc]
+    al = store.alpha[sc]
+    li = store.linv[sc]
+
+    d = xs.shape[-1]
+    t = q.shape[-2]
+    ks = kernels.matern32_deriv_cross_cov(xs, gf, vl, q, scale)
+    res = jnp.einsum('gmq,gm->gq', ks, al)
+    f = res[..., :t]
+    grad = jnp.stack([res[..., (1 + i) * t:(2 + i) * t] for i in range(d)],
+                     axis=-1)
+    v = jnp.einsum('gmn,gnq->gmq', li, ks)
+    vs = jnp.sum(v * v, axis=-2)
+    varf = val_const - vs[..., :t]
+    vargrad = jnp.stack(
+        [grad_const - vs[..., (1 + i) * t:(2 + i) * t] for i in range(d)],
+        axis=-1)
+    return f, grad, varf, vargrad
+
+
+def _grid_candidates(grid: jnp.ndarray, q: jnp.ndarray, cell_size: float,
+                     grid_half: int, noff: int, search_half: float,
+                     trained: jnp.ndarray):
+    """Per query: cluster-cell candidates within the search box.
+
+    grid: dense [(2*grid_half)^D] slot map (slot or -1), row-major over
+    integer cell coords k + grid_half where cell center = (k + 0.5)*cell_size.
+    Returns (slots [Q, K], sqd [Q, K], ok [Q, K]) with K = (2*noff+1)^D.
+    """
+    d = q.shape[-1]
+    k0 = jnp.floor(q / cell_size).astype(jnp.int32)          # [Q, D]
+    offs = jnp.stack(jnp.meshgrid(
+        *([jnp.arange(-noff, noff + 1)] * d), indexing='ij'),
+        axis=-1).reshape(-1, d)                               # [K, D]
+    kc = k0[:, None, :] + offs[None, :, :]                    # [Q, K, D]
+    centers = (kc.astype(q.dtype) + 0.5) * cell_size
+    inb = jnp.all((kc >= -grid_half) & (kc < grid_half), axis=-1)
+    gidx = kc + grid_half
+    # row-major flatten
+    flat = gidx[..., 0]
+    side = 2 * grid_half
+    for a in range(1, d):
+        flat = flat * side + gidx[..., a]
+    flat = jnp.where(inb, flat, 0)
+    slots = jnp.where(inb, grid.reshape(-1)[flat], -1)        # [Q, K]
+    diff = centers - q[:, None, :]
+    sqd = jnp.sum(diff * diff, axis=-1)
+    # AABB intersect (non-strict, quadtree.h:100-105): box half =
+    # search_half, cell half = cell_size/2
+    reach = search_half + cell_size * 0.5
+    inter = jnp.all(jnp.abs(diff) <= reach, axis=-1)
+    ok = (slots >= 0) & inter & trained[jnp.clip(slots, 0)] & inb
+    return slots, sqd, ok
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cell_size", "grid_half", "noff", "search_half",
+                     "scale", "val_const", "grad_const", "var_thre",
+                     "default_var", "tile", "max_cells"))
+def map_test(store: ClusterStore, grid: jnp.ndarray, q: jnp.ndarray,
+             cell_size: float, grid_half: int, noff: int,
+             search_half: float, scale: float, val_const: float,
+             grad_const: float, var_thre: float, default_var: float,
+             tile: int, max_cells: int):
+    """Batched SDF+gradient+variance query.
+
+    Parity: GPisMap.cpp:665-763 (2D; var_thre 0.4) and
+    GPisMap3.cpp:794-902 (3D; 0.5). Per query: collect non-empty
+    cluster cells intersecting the search box, evaluate the nearest cell's
+    GP, fall back to the up-to-3 nearest with variance-weighted blending of
+    the best two when the nearest is uncertain.
+
+    Returns (f [Q], grad [Q, D], varf [Q], vargrad [Q, D]).
+    """
+    nq, d = q.shape
+    slots, sqd, ok = _grid_candidates(grid, q, cell_size, grid_half, noff,
+                                      search_half, store.trained)
+    n_cand = jnp.sum(ok, axis=-1)
+    # 3 nearest candidates by center distance (GPisMap.cpp:695-698)
+    sqd_m = jnp.where(ok, sqd, jnp.inf)
+    _, top_idx = jax.lax.top_k(-sqd_m, 3)                     # [Q, 3]
+    top_slot = jnp.take_along_axis(slots, top_idx, axis=-1)
+    top_ok = jnp.take_along_axis(ok, top_idx, axis=-1)
+    top_ok = top_ok & (jnp.arange(3)[None, :] < n_cand[:, None])
+
+    # pair list: (query, rank) -> cell
+    pair_seg = jnp.where(top_ok, top_slot, -1).reshape(-1)    # [3Q]
+    pair_q = jnp.repeat(q, 3, axis=0)
+
+    plan = segmented.plan_tiles(pair_seg, max_cells, tile)
+
+    def eval_tile(segs, pids):
+        qt = pair_q[jnp.clip(pids, 0)]                        # [G, T, D]
+        return _ongpis_eval_tile(store, segs, qt, scale, val_const,
+                                 grad_const)
+
+    out0 = (jnp.zeros((3 * nq,), q.dtype),
+            jnp.zeros((3 * nq, d), q.dtype),
+            jnp.full((3 * nq,), jnp.inf, q.dtype),
+            jnp.zeros((3 * nq, d), q.dtype))
+    f_p, g_p, vf_p, vg_p = segmented.segmented_eval(plan, eval_tile, out0)
+    f3 = f_p.reshape(nq, 3)
+    g3 = g_p.reshape(nq, 3, d)
+    vf3 = jnp.where(top_ok, vf_p.reshape(nq, 3), jnp.inf)
+    vg3 = vg_p.reshape(nq, 3, d)
+
+    # --- selection / blending (GPisMap.cpp:685-758) ---
+    deff = jnp.zeros((nq,), q.dtype)
+    defg = jnp.zeros((nq, d), q.dtype)
+    defvf = jnp.full((nq,), default_var, q.dtype)
+    defvg = jnp.zeros((nq, d), q.dtype)
+
+    # sort the up-to-3 results by variance (GPisMap.cpp:730-733)
+    ordv = jnp.argsort(vf3, axis=-1)
+    fb = jnp.take_along_axis(f3, ordv, -1)
+    vb = jnp.take_along_axis(vf3, ordv, -1)
+    gb = jnp.take_along_axis(g3, ordv[..., None], -2)
+    vgb = jnp.take_along_axis(vg3, ordv[..., None], -2)
+
+    # best < thr -> best; else variance-weighted blend of the two best with
+    # w1 = var_best - thr, w2 = var_second - thr (GPisMap.cpp:735-756)
+    best_lt = vb[:, 0] < var_thre
+    w1 = vb[:, 0] - var_thre
+    w2 = jnp.where(jnp.isfinite(vb[:, 1]), vb[:, 1], vb[:, 0]) - var_thre
+    w12 = jnp.where(jnp.abs(w1 + w2) > 0, w1 + w2, 1.0)
+
+    def mix(a_best, a_second):
+        sh = (-1,) + (1,) * (a_best.ndim - 1)
+        return ((w2.reshape(sh) * a_best + w1.reshape(sh) * a_second)
+                / w12.reshape(sh))
+
+    second = jnp.where(jnp.isfinite(vb[:, 1])[:, None],
+                       jnp.stack([fb[:, 1], vb[:, 1]], -1),
+                       jnp.stack([fb[:, 0], vb[:, 0]], -1))
+    f2nd, v2nd = second[:, 0], second[:, 1]
+    g2nd = jnp.where(jnp.isfinite(vb[:, 1])[:, None], gb[:, 1], gb[:, 0])
+    vg2nd = jnp.where(jnp.isfinite(vb[:, 1])[:, None], vgb[:, 1], vgb[:, 0])
+
+    f_mix = jnp.where(best_lt, fb[:, 0], mix(fb[:, 0], f2nd))
+    vf_mix = jnp.where(best_lt, vb[:, 0], mix(vb[:, 0], v2nd))
+    g_mix = jnp.where(best_lt[:, None], gb[:, 0], mix(gb[:, 0], g2nd))
+    vg_mix = jnp.where(best_lt[:, None], vgb[:, 0], mix(vgb[:, 0], vg2nd))
+
+    # single candidate -> nearest result regardless of variance
+    # (GPisMap.cpp:686-692); >= 2 -> nearest if confident, else blend path
+    use_near = (n_cand == 1) | (vf3[:, 0] <= var_thre)
+    none = n_cand == 0
+
+    def sel(near, mixv, defv):
+        c_near = use_near.reshape((-1,) + (1,) * (near.ndim - 1))
+        c_none = none.reshape((-1,) + (1,) * (near.ndim - 1))
+        return jnp.where(c_none, defv, jnp.where(c_near, near, mixv))
+
+    f_out = sel(f3[:, 0], f_mix, deff)
+    g_out = sel(g3[:, 0], g_mix, defg)
+    vf_out = sel(vf3[:, 0], vf_mix, defvf)
+    vg_out = sel(vg3[:, 0], vg_mix, defvg)
+    # guard: queries whose results never materialised (inf var)
+    bad = ~jnp.isfinite(vf_out)
+    vf_out = jnp.where(bad, default_var, vf_out)
+    f_out = jnp.where(bad, 0.0, f_out)
+    g_out = jnp.where(bad[:, None], 0.0, g_out)
+    vg_out = jnp.where(bad[:, None], 0.0, vg_out)
+    return f_out, g_out, vf_out, vg_out
+
+
+def build_grid(cell_coords: np.ndarray, slots: np.ndarray, dim: int,
+               grid_half: int) -> jnp.ndarray:
+    """Dense cluster grid from host cell tables.
+
+    cell_coords: [C, D] integer coords k (cell center = (k + 0.5)*size);
+    slots: [C] slot ids. Cells outside the grid are dropped.
+    """
+    side = 2 * grid_half
+    grid = np.full((side,) * dim, -1, np.int32)
+    if len(cell_coords):
+        k = cell_coords + grid_half
+        inb = np.all((k >= 0) & (k < side), axis=-1)
+        grid[tuple(k[inb].T)] = slots[inb]
+    return jnp.asarray(grid)

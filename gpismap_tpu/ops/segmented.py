@@ -1,0 +1,102 @@
+"""Segmented (per-cell) batched evaluation.
+
+The map test path assigns each (query, rank) pair to one cluster cell; each
+cell owns a moderately large GP factor (M' x M'), so per-pair gathers of the
+factor are bandwidth-prohibitive. Instead, pairs are bucketed by cell into
+fixed-size tiles (each tile touches exactly ONE cell) and evaluated by a
+scan that gathers one cell's state per tile — bounded VMEM footprint, pure
+matmuls inside, load-balanced up to T-1 padding per cell.
+
+This replaces the reference's per-point loop over up-to-3 neighbour GPs
+(reference: GPisMap.cpp:665-763) with a TPU-friendly schedule.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class TilePlan(NamedTuple):
+    pair_ids: jnp.ndarray   # [NT, T] original pair index per padded slot, -1
+    tile_seg: jnp.ndarray   # [NT] segment (cell) id per tile, -1 inactive
+    n_tiles: jnp.ndarray    # scalar — tiles actually used
+
+
+def plan_tiles(seg: jnp.ndarray, n_segments: int, tile: int) -> TilePlan:
+    """Bucket pair indices by segment into single-segment tiles.
+
+    seg: [P] int32 segment id per pair, -1 for inactive pairs.
+    Static output size NT = P // tile + n_segments (worst case: every
+    segment's remainder opens one extra tile).
+    """
+    p = seg.shape[0]
+    nt = p // tile + n_segments
+    valid = seg >= 0
+    segc = jnp.where(valid, seg, n_segments).astype(jnp.int32)
+    order = jnp.argsort(segc, stable=True)
+    sorted_seg = segc[order]
+
+    counts = jnp.bincount(segc, length=n_segments + 1)[:n_segments]
+    tiles_per = (counts + tile - 1) // tile
+    tile_start = jnp.cumsum(tiles_per) - tiles_per          # first tile of seg
+    n_tiles = jnp.sum(tiles_per)
+
+    start_in_sorted = jnp.cumsum(counts) - counts
+    sseg_c = jnp.clip(sorted_seg, 0, n_segments - 1)
+    rank = jnp.arange(p) - start_in_sorted[sseg_c]
+    padded_pos = tile_start[sseg_c] * tile + rank
+    padded_pos = jnp.where(sorted_seg < n_segments, padded_pos, nt * tile)
+
+    pair_ids = jnp.full((nt * tile + 1,), -1, jnp.int32)
+    pair_ids = pair_ids.at[padded_pos].set(order.astype(jnp.int32))
+    pair_ids = pair_ids[:-1].reshape(nt, tile)
+
+    # tile t belongs to segment s iff tile_start[s] <= t < tile_start[s]+tiles_per[s]
+    tidx = jnp.arange(nt)
+    seg_of_tile = jnp.searchsorted(jnp.cumsum(tiles_per), tidx, side='right')
+    seg_of_tile = jnp.where(tidx < n_tiles, seg_of_tile, -1).astype(jnp.int32)
+    return TilePlan(pair_ids=pair_ids, tile_seg=seg_of_tile, n_tiles=n_tiles)
+
+
+def segmented_eval(plan: TilePlan, eval_tile, out_init, tile_chunk: int = 8):
+    """Run eval_tile over tiles, scattering tile results into out arrays.
+
+    eval_tile(seg_ids [G], pair_ids [G, T]) -> pytree of [G, T, ...] results
+    (G = tile_chunk tiles evaluated together; seg_ids may be -1 = skip).
+    out_init: pytree of [P, ...] output arrays (pre-filled defaults).
+    Returns the filled pytree.
+    """
+    nt, tile = plan.pair_ids.shape
+    pad_t = (-nt) % tile_chunk
+    pair_ids = jnp.concatenate(
+        [plan.pair_ids, jnp.full((pad_t, tile), -1, jnp.int32)])
+    tile_seg = jnp.concatenate(
+        [plan.tile_seg, jnp.full((pad_t,), -1, jnp.int32)])
+    ngrp = (nt + pad_t) // tile_chunk
+    pair_ids = pair_ids.reshape(ngrp, tile_chunk, tile)
+    tile_seg = tile_seg.reshape(ngrp, tile_chunk)
+
+    # masked writes drop onto a dummy trailing row (avoids duplicate-index
+    # set nondeterminism)
+    p = jax.tree.leaves(out_init)[0].shape[0]
+    out_ext = jax.tree.map(
+        lambda o: jnp.concatenate([o, jnp.zeros((1,) + o.shape[1:], o.dtype)]),
+        out_init)
+
+    def body(out, args):
+        segs, pids = args                       # [G], [G, T]
+        res = eval_tile(segs, pids)             # pytree [G, T, ...]
+        mask = (pids >= 0) & (segs[:, None] >= 0)
+        tgt = jnp.where(mask, pids, p).reshape(-1)
+
+        def scatter(o, r):
+            r2 = r.reshape((tgt.shape[0],) + r.shape[2:])
+            return o.at[tgt].set(r2, mode='drop')
+
+        out = jax.tree.map(scatter, out, res)
+        return out, None
+
+    out, _ = jax.lax.scan(body, out_ext, (tile_seg, pair_ids))
+    return jax.tree.map(lambda o: o[:-1], out)
