@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Benchmark: 2D gazebo workload, matched to the reference protocol.
+
+Builds the map from the demo frame schedule (matlab/demo_gpisMap.m:37-40)
+and times the batched SDF+gradient query on the demo test grid
+(49 551 points). Prints ONE JSON line:
+  {"metric": ..., "value": qps, "unit": "queries/s", "vs_baseline": x}
+
+Baseline: reference C++ on the container CPU = 72 772 queries/s
+(BASELINE.md, captured via tools/capture_goldens.py).
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+REF_QPS = 72772.0
+N_FRAMES = 28            # full demo schedule
+
+
+def main():
+    from gpismap_tpu import datasets
+    from gpismap_tpu.api import GPisMap2D
+
+    m = GPisMap2D()
+    frames = list(datasets.gazebo_frames())[:N_FRAMES]
+    t_upd = []
+    for fr in frames:
+        t0 = time.time()
+        m.update(fr.thetas, fr.ranges, fr.pose)
+        t_upd.append(time.time() - t0)
+
+    xtest, _ = datasets.gazebo_test_grid()
+    # warm-up (compile) at the benchmark shape, then measure
+    m.test(xtest)
+    reps = 3
+    t0 = time.time()
+    for _ in range(reps):
+        res = m.test(xtest)
+    dt = (time.time() - t0) / reps
+    qps = len(xtest) / dt
+
+    # steady-state update rate (skip the compile-heavy first frames)
+    upd = np.asarray(t_upd[4:]) if len(t_upd) > 8 else np.asarray(t_upd)
+    fps = 1.0 / max(np.mean(upd), 1e-9)
+
+    out = {
+        "metric": "2d_sdf_grad_queries_per_s_per_chip",
+        "value": round(qps, 1),
+        "unit": "queries/s",
+        "vs_baseline": round(qps / REF_QPS, 3),
+        "extra": {
+            "update_frames_per_s": round(fps, 2),
+            "ref_update_frames_per_s": round(1.0 / 0.009, 1),
+            "n_frames": len(frames),
+            "n_nodes": int(m.num_nodes),
+            "n_test_points": int(len(xtest)),
+            "test_s": round(dt, 4),
+        },
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,257 @@
+"""GPisMap3D — online 3D SDF mapper from depth images.
+
+Mirrors the reference command surface (update/test/reset/setCamera/
+getAllPoints; reference: cpp/include/GPisMap3.h:124-133 and
+mex/mexGPisMap3.cpp:111-157).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .api import _next_pow2
+from .config import (BIGBIRD_CAMS, CAPACITY_3D, MAPPER_3D, OBSGP_2D,
+                     TREE_3D, YCB_CAMS, CameraParam, CapacityParam,
+                     MapperParam, ObsGPParam, TreeParam)
+from .models import cluster, mapper3d, obsgp
+from .runtime import SpatialIndex
+
+
+class GPisMap3D:
+    """Online continuous 3D SDF mapper.
+
+    update(depth, pose12) ingests one [H, W] depth image (meters) with pose
+    [t(3), R column-major(9)] (mexGPisMap3.cpp convention); test(x)
+    returns [N, 8] = [f, gx, gy, gz, var_f, var_gx, var_gy, var_gz]
+    (mexGPisMap3.cpp:96-99).
+    """
+
+    def __init__(self, params: MapperParam = MAPPER_3D,
+                 obs_param: ObsGPParam = OBSGP_2D,
+                 tree: TreeParam = TREE_3D,
+                 cap: CapacityParam = CAPACITY_3D,
+                 camera: Optional[CameraParam] = None,
+                 compat_reloc: bool = True):
+        self.p = params
+        self.op = obs_param
+        self.tp = tree
+        self.cap = cap
+        self.dim = 3
+        self.cam = camera or CameraParam()
+        self.compat_reloc = compat_reloc
+        self.index = SpatialIndex(self.dim, tree, max_slots=cap.max_cells)
+        self.store = cluster.make_store(cap, self.dim)
+        self.cell_size = 2.0 * tree.cluster_halfleng
+        self.grid_half = int(round(2.0 * tree.max_halfleng / self.cell_size))
+        self.grid = cluster.build_grid(np.zeros((0, 3), np.int64),
+                                       np.zeros(0, np.int32), 3,
+                                       self.grid_half)
+        # test search box: C_leng * 3 (GPisMap3.cpp:811)
+        self._search_half = tree.cluster_halfleng * 3.0
+        self._noff = int((self._search_half + self.cell_size)
+                         / self.cell_size)
+        self.frame = 0
+        self.stats: dict = {}
+
+    # ------------------------------------------------------------------
+    def set_camera(self, cam_id_or_param, family: str = "bigbird"):
+        """Select intrinsics (mexGPisMap3.cpp:111-144): either a 1-based
+        camera id into the bigbird/YCB tables, or a CameraParam."""
+        if isinstance(cam_id_or_param, CameraParam):
+            self.cam = cam_id_or_param
+        else:
+            table = BIGBIRD_CAMS if family == "bigbird" else YCB_CAMS
+            self.cam = table[int(cam_id_or_param) - 1]
+
+    def reset(self):
+        self.index.reset()
+        self.store = cluster.make_store(self.cap, self.dim)
+        self.grid = cluster.build_grid(np.zeros((0, 3), np.int64),
+                                       np.zeros(0, np.int32), 3,
+                                       self.grid_half)
+        self.frame = 0
+
+    # ------------------------------------------------------------------
+    def _obs_limits(self):
+        """Image-plane visibility bounds (GPisMap3.cpp:169-172)."""
+        skip = self.p.obs_skip
+        m = self.cam.height // skip
+        n = self.cam.width // skip
+        u_lim = (-self.cam.cx / self.cam.fx,
+                 ((n - 1) * skip - self.cam.cx) / self.cam.fx)
+        v_lim = (-self.cam.cy / self.cam.fy,
+                 ((m - 1) * skip - self.cam.cy) / self.cam.fy)
+        return u_lim, v_lim
+
+    def update(self, depth: np.ndarray, pose: np.ndarray) -> None:
+        """Ingest one depth frame (GPisMap3::update, GPisMap3.cpp:218-237).
+        """
+        depth = np.asarray(depth, np.float32)
+        pose = np.asarray(pose, np.float32).reshape(-1)
+        tr = pose[:3]
+        rot = pose[3:12].reshape(3, 3, order="F")
+
+        prep = mapper3d.preprocess_3d(jnp.asarray(depth), jnp.asarray(tr),
+                                      jnp.asarray(rot), self.cam, self.p)
+        if int(jnp.sum(prep.valid)) <= 1:
+            return
+
+        obs = obsgp.fit_obsgp2d(prep.v, prep.u, prep.zinv, self.op)
+
+        self._update_map_points(obs, prep, tr, rot)
+
+        nm = mapper3d.newmeas_3d(obs, prep, jnp.asarray(rot), self.p,
+                                 self.op)
+        ok = np.asarray(nm.insert_ok)
+        if ok.any():
+            cand = np.asarray(nm.pos)[ok]
+            ids = self.index.try_insert(cand)
+            ins = ids >= 0
+            if ins.any():
+                self.index.set_node_data(
+                    ids[ins], np.full(ins.sum(), -self.p.fbias, np.float32),
+                    np.asarray(nm.noise)[ok][ins],
+                    np.asarray(nm.grad)[ok][ins],
+                    np.asarray(nm.grad_noise)[ok][ins])
+
+        self._update_gps()
+        self.frame += 1
+
+    # ------------------------------------------------------------------
+    def _update_map_points(self, obs, prep, tr, rot):
+        if self.index.num_nodes == 0:
+            return
+        rmax = float(prep.range_obs_max)
+        cells, _ = self.index.query_cluster_cells(tr, rmax, cap=65536)
+        if len(cells) == 0:
+            return
+        centers, halfs, _ = self.index.cell_info(cells)
+        sqr = np.sum((centers - tr) ** 2, -1)
+        keep = sqr <= rmax * rmax + 2.0 * halfs * halfs
+        # frustum cull by corners; the reference overwrites within_angle
+        # per z>0 corner so only the LAST front corner decides
+        # (GPisMap3.cpp:289-301) — replicated.
+        signs = np.array([[-1, 1, 1], [1, 1, 1], [-1, -1, 1], [1, -1, 1],
+                          [-1, 1, -1], [1, 1, -1], [-1, -1, -1],
+                          [1, -1, -1]], np.float32)
+        corners = centers[:, None, :] + halfs[:, None, None] * signs
+        loc = (corners - tr) @ rot                     # [C, 8, 3]
+        u_lim, v_lim = self._obs_limits()
+        z = loc[..., 2]
+        front = z > 0
+        xv = loc[..., 0] / np.where(front, z, 1.0)
+        yv = loc[..., 1] / np.where(front, z, 1.0)
+        vis = ((xv > u_lim[0]) & (xv < u_lim[1])
+               & (yv > v_lim[0]) & (yv < v_lim[1]))
+        within = np.zeros(len(cells), bool)
+        for c in range(8):                             # replay overwrite
+            within = np.where(front[:, c], vis[:, c], within)
+        keep &= within
+        if not keep.any():
+            return
+        node_ids = [self.index.cell_nodes(c) for c in cells[keep]]
+        node_ids = np.concatenate(node_ids) if node_ids else np.zeros(
+            0, np.int32)
+        if len(node_ids) == 0:
+            return
+
+        d = self.index.dump_nodes()
+        k = _next_pow2(len(node_ids))
+        sel = np.zeros(k, np.int32)
+        sel[:len(node_ids)] = node_ids
+        valid = np.zeros(k, bool)
+        valid[:len(node_ids)] = True
+
+        rv = mapper3d.reeval_3d(
+            obs, jnp.asarray(d["pos"][sel]), jnp.asarray(d["grad"][sel]),
+            jnp.asarray(d["pos_sig"][sel]), jnp.asarray(d["grad_sig"][sel]),
+            jnp.asarray(valid), jnp.asarray(tr), jnp.asarray(rot), self.p,
+            self.op, compat=self.compat_reloc)
+
+        n = len(node_ids)
+        self.index.apply_reeval(
+            node_ids, np.asarray(rv.action)[:n], np.asarray(rv.pos)[:n],
+            np.asarray(rv.grad)[:n], np.asarray(rv.noise)[:n],
+            np.asarray(rv.grad_noise)[:n], np.asarray(rv.dbl_pos_sig)[:n],
+            np.asarray(rv.dbl_grad_sig)[:n], -self.p.fbias)
+
+    # ------------------------------------------------------------------
+    def _update_gps(self):
+        m = self.cap.gp_support
+        rt = self.index.collect_retrain(self.p.gp_radius_times, m,
+                                        self.cap.retrain_batch * 16)
+        b = rt["n"]
+        if b:
+            if rt["total"] > b:
+                self.stats["retrain_truncated"] = rt["total"] - b
+            d = self.index.dump_nodes()
+            chunk = self.cap.retrain_batch
+            for s in range(0, b, chunk):
+                e = min(s + chunk, b)
+                bb = e - s
+                sup = np.zeros((chunk, m), np.int32)
+                sup[:bb] = rt["support"][s:e]
+                slots = np.full(chunk, -1, np.int32)
+                slots[:bb] = rt["slots"][s:e]
+                vmask = sup >= 0
+                vmask[bb:] = False
+                supc = np.clip(sup, 0, None)
+                self.store = cluster.retrain_cells(
+                    self.store, jnp.asarray(slots), jnp.asarray(slots >= 0),
+                    jnp.asarray(d["pos"][supc]), jnp.asarray(d["grad"][supc]),
+                    jnp.asarray(d["val"][supc]),
+                    jnp.asarray(d["pos_sig"][supc]),
+                    jnp.asarray(d["grad_sig"][supc]), jnp.asarray(vmask),
+                    self.p.map_scale_param)
+        self.index.clear_active()
+        self._rebuild_grid()
+
+    def _rebuild_grid(self):
+        cells = self.index.all_cluster_cells(cap=self.cap.max_cells * 4)
+        if len(cells) == 0:
+            self.grid = cluster.build_grid(np.zeros((0, 3), np.int64),
+                                           np.zeros(0, np.int32), 3,
+                                           self.grid_half)
+            return
+        centers, _, slots = self.index.cell_info(cells)
+        coords = np.floor(centers / self.cell_size).astype(np.int64)
+        live = slots >= 0
+        self.grid = cluster.build_grid(coords[live], slots[live], 3,
+                                       self.grid_half)
+
+    # ------------------------------------------------------------------
+    def test(self, x: np.ndarray) -> np.ndarray:
+        """Batched SDF query (GPisMap3::test, GPisMap3.cpp:904-949).
+
+        x: [N, 3]. Returns [N, 8] with testSinglePoint variance constants
+        (OnGPIS.cpp:208-213) and var threshold 0.5 (GPisMap3.cpp:800).
+        """
+        x = np.asarray(x, np.float32).reshape(-1, 3)
+        nq = x.shape[0]
+        qp = _next_pow2(nq)
+        xq = np.zeros((qp, 3), np.float32)
+        xq[:nq] = x
+        f, g, vf, vg = cluster.map_test(
+            self.store, self.grid, jnp.asarray(xq),
+            cell_size=self.cell_size, grid_half=self.grid_half,
+            noff=self._noff, search_half=self._search_half,
+            scale=self.p.map_scale_param, val_const=1.001,
+            grad_const=self.p.three_over_scale + 0.001,
+            var_thre=self.p.test_var_thre,
+            default_var=1.0 + self.p.map_noise_param,
+            tile=self.cap.test_tile, max_cells=self.cap.max_cells)
+        out = np.concatenate(
+            [np.asarray(f)[:, None], np.asarray(g),
+             np.asarray(vf)[:, None], np.asarray(vg)], axis=-1)
+        return out[:nq]
+
+    def get_all_points(self) -> np.ndarray:
+        """All live node positions (GPisMap3.cpp:951-972)."""
+        d = self.index.dump_nodes()
+        return d["pos"][d["alive"]]
+
+    @property
+    def num_nodes(self) -> int:
+        return self.index.num_nodes

@@ -173,9 +173,10 @@ class CapacityParam:
     """
 
     # Max support nodes per cluster-GP (overflow: nearest-to-center kept).
-    gp_support: int = 64
-    # Max cluster cells retrained per frame (overflow: processed in chunks).
-    retrain_batch: int = 256
+    # Measured on the bundled data: 2D <= ~120, 3D median 125 / max 270.
+    gp_support: int = 160
+    # Cluster cells retrained per device batch (memory chunking).
+    retrain_batch: int = 64
     # Max live cluster cells with trained GPs.
     max_cells: int = 4096
     # Max nodes in the map.
@@ -187,5 +188,5 @@ class CapacityParam:
 
 
 CAPACITY_2D = CapacityParam()
-CAPACITY_3D = CapacityParam(gp_support=64, retrain_batch=512, max_cells=8192,
+CAPACITY_3D = CapacityParam(gp_support=320, retrain_batch=32, max_cells=4096,
                             max_nodes=131072, test_tile=128, max_beams=512)

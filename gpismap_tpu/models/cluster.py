@@ -19,13 +19,23 @@ from ..ops import gp, kernels, segmented
 
 
 class ClusterStore(NamedTuple):
-    """Per-slot trained cluster GPs. All arrays slot-indexed [C, ...]."""
+    """Per-slot trained cluster GPs, slot-indexed [C, ...].
+
+    Deliberately stores NO Cholesky factors: real support sizes reach
+    hundreds of nodes (3D: median ~125, max ~270 on the bundled data), so
+    persistent [C, M', M'] factors would cost gigabytes. Instead the small
+    support data + alpha persist and the factor is rebuilt inside the test
+    tile scan — a few 1e8-flop Cholesky factorizations per tile are cheap
+    on the MXU, HBM capacity is not.
+    """
 
     x: jnp.ndarray         # [C, M, D] support positions
-    gradflag: jnp.ndarray  # [C, M] bool
+    grad: jnp.ndarray      # [C, M, D] support normals
+    val: jnp.ndarray       # [C, M] SDF targets
+    sigx: jnp.ndarray      # [C, M] position noise (pre-adjustment)
+    siggrad: jnp.ndarray   # [C, M] gradient noise
     valid: jnp.ndarray     # [C, M] bool
     alpha: jnp.ndarray     # [C, M*(1+D)]
-    linv: jnp.ndarray      # [C, M*(1+D), M*(1+D)]
     trained: jnp.ndarray   # [C] bool
 
 
@@ -34,10 +44,12 @@ def make_store(cap: CapacityParam, dim: int) -> ClusterStore:
     mp = m * (1 + dim)
     return ClusterStore(
         x=jnp.zeros((c, m, dim), jnp.float32),
-        gradflag=jnp.zeros((c, m), bool),
+        grad=jnp.zeros((c, m, dim), jnp.float32),
+        val=jnp.zeros((c, m), jnp.float32),
+        sigx=jnp.zeros((c, m), jnp.float32),
+        siggrad=jnp.zeros((c, m), jnp.float32),
         valid=jnp.zeros((c, m), bool),
         alpha=jnp.zeros((c, mp), jnp.float32),
-        linv=jnp.zeros((c, mp, mp), jnp.float32),
         trained=jnp.zeros((c,), bool),
     )
 
@@ -51,12 +63,12 @@ def retrain_cells(store: ClusterStore, slots: jnp.ndarray,
 
     TPU analogue of the thread fan-out in updateGPs (GPisMap.cpp:596-663):
     one batched Cholesky over [B, M', M'] instead of per-cell Eigen llt on
-    CPU threads.
+    CPU threads. Only alpha + the raw support data persist (see
+    ClusterStore).
 
     slots: [B] destination slot per cell (-1 rows dropped via slot_ok).
     """
     st = gp.fit_ongpis(x, grad, val, sigx, siggrad, valid, scale)
-    linv = gp.linv_from_chol(st.l)
     c = store.x.shape[0]
     tgt = jnp.where(slot_ok, slots, c)
 
@@ -67,11 +79,13 @@ def retrain_cells(store: ClusterStore, slots: jnp.ndarray,
 
     return ClusterStore(
         x=scat(store.x, x),
-        gradflag=scat(store.gradflag, st.gradflag),
-        valid=scat(store.valid, st.valid),
+        grad=scat(store.grad, grad),
+        val=scat(store.val, val),
+        sigx=scat(store.sigx, sigx),
+        siggrad=scat(store.siggrad, siggrad),
+        valid=scat(store.valid, valid),
         alpha=scat(store.alpha, st.alpha),
-        linv=scat(store.linv, linv),
-        trained=scat(store.trained, st.trained & jnp.any(valid, -1)),
+        trained=scat(store.trained, jnp.any(valid, -1)),
     )
 
 
@@ -90,23 +104,33 @@ def _ongpis_eval_tile(store: ClusterStore, segs: jnp.ndarray,
                       grad_const: float):
     """Evaluate tiles of queries against their cells' GPs.
 
+    Rebuilds and factorizes each tile's train covariance on the fly (see
+    ClusterStore docstring); mean from the cached alpha, variance from the
+    fresh Cholesky — the reference's exact algorithm
+    (OnGPIS.cpp:177-263), batched over tiles.
+
     segs: [G] slot ids; q: [G, T, D]. Returns (f, grad, varf, vargrad).
     """
+    from ..ops.gp import _solve_lower, ongpis_prepare
+
     sc = jnp.clip(segs, 0, store.x.shape[0] - 1)
     xs = store.x[sc]
-    gf = store.gradflag[sc]
     vl = store.valid[sc]
     al = store.alpha[sc]
-    li = store.linv[sc]
+    gradflag, sigx = ongpis_prepare(store.grad[sc], store.sigx[sc],
+                                    store.siggrad[sc], vl)
+    k = kernels.matern32_deriv_train_cov(xs, sigx, store.siggrad[sc],
+                                         gradflag, vl, scale)
+    lo = jnp.linalg.cholesky(k)
 
     d = xs.shape[-1]
     t = q.shape[-2]
-    ks = kernels.matern32_deriv_cross_cov(xs, gf, vl, q, scale)
+    ks = kernels.matern32_deriv_cross_cov(xs, gradflag, vl, q, scale)
     res = jnp.einsum('gmq,gm->gq', ks, al)
     f = res[..., :t]
     grad = jnp.stack([res[..., (1 + i) * t:(2 + i) * t] for i in range(d)],
                      axis=-1)
-    v = jnp.einsum('gmn,gnq->gmq', li, ks)
+    v = _solve_lower(lo, ks)
     vs = jnp.sum(v * v, axis=-2)
     varf = val_const - vs[..., :t]
     vargrad = jnp.stack(

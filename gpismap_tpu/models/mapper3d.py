@@ -1,0 +1,309 @@
+"""3D online mapper — device-side computations.
+
+Batched re-expression of the reference GPisMap3 pipeline
+(reference: cpp/src/GPisMap3.cpp:125-716): depth-image preprocessing with
+camera intrinsics, re-evaluation of existing nodes against the ObsGP2D
+inverse-depth regression, 6-probe normals, quaternion normal fusion, and
+per-pixel new-measurement evaluation.
+
+Reference quirks handled explicitly:
+  * compat re-localization: the reference recomputes vu from UNCHANGED
+    y_loc/z_loc inside the refinement loop (GPisMap3.cpp:390-392), so the
+    occupancy never updates and the loop degenerates to 10 fixed-sign
+    steps of geometrically growing size. `compat=True` (default)
+    reproduces this closed form for golden parity; `compat=False` runs the
+    corrected loop that re-projects x_new each step.
+  * the normal-fusion quaternion is built from an UN-normalized axis
+    (GPisMap3.cpp:509-529) and the `ang > 1-6` guard is always true;
+    replicated as written (with an acos clamp to avoid NaN).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import CameraParam, MapperParam, ObsGPParam
+from . import obsgp
+from .mapper2d import occ_test
+
+_RELOC_ITERS = 10
+_OCC_STOP = 0.02
+# sum of 10 steps with dx *= 1.1 growth (GPisMap3.cpp:374-410 compat path)
+_COMPAT_STEP_SUM = sum(1.1 ** i for i in range(_RELOC_ITERS))
+
+
+class Preproc3D(NamedTuple):
+    valid: jnp.ndarray        # [M, N] range-gated pixels (row-major m x n)
+    zinv: jnp.ndarray         # [M, N] inverse depth (-1 invalid)
+    v: jnp.ndarray            # [M] row ray coords (row - cy)/fy
+    u: jnp.ndarray            # [N] col ray coords (col - cx)/fx
+    xyz_local: jnp.ndarray    # [M, N, 3]
+    xyz_global: jnp.ndarray   # [M, N, 3]
+    z: jnp.ndarray            # [M, N] depth
+    range_obs_max: jnp.ndarray
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "mp"))
+def preprocess_3d(depth: jnp.ndarray, tr: jnp.ndarray, rot: jnp.ndarray,
+                  cam: CameraParam, mp: MapperParam) -> Preproc3D:
+    """Depth subsample + back-projection (GPisMap3.cpp:125-216).
+
+    depth: [H, W] meters; rot: [3, 3] world-from-camera; tr: [3].
+    """
+    skip = mp.obs_skip
+    m = cam.height // skip
+    n = cam.width // skip
+    rows = jnp.arange(m) * skip
+    cols = jnp.arange(n) * skip
+    z = depth[rows][:, cols]                           # [M, N]
+    valid = (z > mp.min_range) & (z < mp.max_range)
+    zinv = jnp.where(valid, 1.0 / jnp.maximum(z, 1e-12), -1.0)
+    v = (rows.astype(depth.dtype) - cam.cy) / cam.fy
+    u = (cols.astype(depth.dtype) - cam.cx) / cam.fx
+    x_l = u[None, :] * z
+    y_l = v[:, None] * z
+    loc = jnp.stack([x_l, y_l, z], -1)
+    glob = loc @ rot.T + tr
+    rmax = jnp.max(jnp.where(valid, z, 0.0))
+    return Preproc3D(valid=valid, zinv=zinv, v=v, u=u, xyz_local=loc,
+                     xyz_global=glob, z=z, range_obs_max=rmax)
+
+
+class Reeval3D(NamedTuple):
+    action: jnp.ndarray
+    pos: jnp.ndarray
+    grad: jnp.ndarray
+    noise: jnp.ndarray
+    grad_noise: jnp.ndarray
+    dbl_pos_sig: jnp.ndarray
+    dbl_grad_sig: jnp.ndarray
+
+
+def _quat_blend(grad_old, grad_new, frac):
+    """Reference normal fusion (GPisMap3.cpp:508-529): rotate the OLD
+    normal by frac*angle(new, old) about the un-normalized axis
+    new x old, through the aerospace DCM applied transposed."""
+    axis = jnp.cross(grad_new, grad_old)
+    dot = jnp.clip(jnp.sum(grad_new * grad_old, -1), -1.0, 1.0)
+    ang = jnp.arccos(dot) * frac
+    q0 = jnp.cos(ang / 2.0)
+    s = jnp.sin(ang / 2.0)
+    q1, q2, q3 = axis[..., 0] * s, axis[..., 1] * s, axis[..., 2] * s
+    # dcm column-major of R (quat2dcm, GPisMap3.cpp:48-63); applied as
+    # grad = R^T @ grad_old (GPisMap3.cpp:527-529)
+    r00 = q0 * q0 + q1 * q1 - q2 * q2 - q3 * q3
+    r10 = 2.0 * (q1 * q2 + q0 * q3)
+    r20 = 2.0 * (q1 * q3 - q0 * q2)
+    r01 = 2.0 * (q1 * q2 - q0 * q3)
+    r11 = q0 * q0 - q1 * q1 + q2 * q2 - q3 * q3
+    r21 = 2.0 * (q0 * q1 + q2 * q3)
+    r02 = 2.0 * (q1 * q3 + q0 * q2)
+    r12 = 2.0 * (q2 * q3 - q0 * q1)
+    r22 = q0 * q0 - q1 * q1 - q2 * q2 + q3 * q3
+    gx, gy, gz = grad_old[..., 0], grad_old[..., 1], grad_old[..., 2]
+    return jnp.stack([r00 * gx + r10 * gy + r20 * gz,
+                      r01 * gx + r11 * gy + r21 * gz,
+                      r02 * gx + r12 * gy + r22 * gz], -1)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("mp", "op", "chunk", "compat"))
+def reeval_3d(obs: obsgp.ObsGP2DState, pos: jnp.ndarray, grad: jnp.ndarray,
+              pos_sig: jnp.ndarray, grad_sig: jnp.ndarray,
+              valid: jnp.ndarray, tr: jnp.ndarray, rot: jnp.ndarray,
+              mp: MapperParam, op: ObsGPParam, chunk: int = 1024,
+              compat: bool = True) -> Reeval3D:
+    """Batched reEvalPoints (GPisMap3.cpp:321-569)."""
+    k = pos.shape[0]
+
+    def obs_at_vu(vu_flat):
+        mmean, vvar = obsgp.obsgp2d_test(obs, vu_flat, op, chunk)
+        return mmean, vvar
+
+    loc = (pos - tr) @ rot                             # R^T (p - t)
+    x_l, y_l, z_l = loc[..., 0], loc[..., 1], loc[..., 2]
+    front = z_l > 0.0                                  # GPisMap3.cpp:342
+    zs = jnp.where(jnp.abs(z_l) > 1e-12, z_l, 1e-12)
+    vu = jnp.stack([y_l / zs, x_l / zs], -1)
+    rinv0, var = obs_at_vu(vu)
+    gate = valid & front & (var <= mp.obs_var_thre)
+    oc0 = occ_test(1.0 / zs, rinv0, z_l * 30.0)
+    active = gate & (oc0 >= -0.02)                     # GPisMap3.cpp:355-359
+    grad_loc = grad @ rot
+
+    if compat:
+        # closed form of the degenerate loop (see module docstring)
+        move = jnp.abs(oc0) > _OCC_STOP
+        sgn = jnp.where(oc0 < 0, 1.0, -1.0)
+        disp = sgn * mp.delx * _COMPAT_STEP_SUM
+        x_new = loc + jnp.where(move[:, None], grad_loc * disp[:, None],
+                                0.0)
+        abs_oc = jnp.abs(oc0)
+        r_new = z_l
+    else:
+        def body(i, st):
+            x_new, dx, oc, abs_oc, r_new, cont = st
+            step = jnp.where(oc[:, None] < 0, 1.0, -1.0) * grad_loc \
+                * dx[:, None]
+            x_new = jnp.where(cont[:, None], x_new + step, x_new)
+            zc = jnp.where(jnp.abs(x_new[:, 2]) > 1e-12, x_new[:, 2], 1e-12)
+            vu_i = jnp.stack([x_new[:, 1] / zc, x_new[:, 0] / zc], -1)
+            rinv0_n, var_n = obs_at_vu(vu_i)
+            r_t = x_new[:, 2]
+            r_new = jnp.where(cont, r_t, r_new)
+            brk_var = var_n > mp.obs_var_thre
+            oc_n = occ_test(1.0 / jnp.maximum(r_t, 1e-12), rinv0_n,
+                            r_t * 30.0)
+            brk_oc = (jnp.abs(oc_n) < _OCC_STOP) | (oc < -0.02)
+            upd = cont & ~brk_var & ~brk_oc
+            flip = oc * oc_n < 0.0
+            dx = jnp.where(upd, jnp.where(flip, 0.5 * dx, 1.1 * dx), dx)
+            oc = jnp.where(upd, oc_n, oc)
+            abs_oc = jnp.where(upd, jnp.abs(oc_n), abs_oc)
+            cont = upd & (jnp.abs(oc_n) > _OCC_STOP)
+            return x_new, dx, oc, abs_oc, r_new, cont
+
+        abs0 = jnp.abs(oc0)
+        st0 = (loc, jnp.full((k,), mp.delx, pos.dtype), oc0, abs0, z_l,
+               active & (abs0 > _OCC_STOP))
+        x_new, _, _, abs_oc, r_new, _ = jax.lax.fori_loop(
+            0, _RELOC_ITERS, body, st0)
+
+    # --- 6-probe normal + noise (GPisMap3.cpp:413-480) ---
+    w = 1.0 / 6.0
+    pert = jnp.asarray([[1., 0., 0.], [-1., 0., 0.], [0., 1., 0.],
+                        [0., -1., 0.], [0., 0., 1.], [0., 0., -1.]],
+                       pos.dtype) * mp.delx
+    ppos = x_new[:, None, :] + pert[None]              # [K, 6, 3]
+    pz = jnp.where(jnp.abs(ppos[..., 2]) > 1e-12, ppos[..., 2], 1e-12)
+    pvu = jnp.stack([ppos[..., 1] / pz, ppos[..., 0] / pz], -1)
+    prinv0, pvar = obs_at_vu(pvu.reshape(-1, 2))
+    prinv0 = prinv0.reshape(k, 6)
+    pvar = pvar.reshape(k, 6)
+    probe_ok = jnp.all(pvar <= mp.obs_var_thre, -1)
+    pocc = occ_test(1.0 / pz, prinv0, ppos[..., 2] * 30.0)
+    occ_mean = w * jnp.sum(pocc, -1)
+    r0 = 1.0 / jnp.where(jnp.abs(prinv0) > 1e-12, prinv0, 1e-12)
+    r0_sqr_sum = jnp.sum(r0 * r0, -1)
+    r0_mean = w * jnp.sum(r0, -1)
+
+    act2 = active & probe_ok
+    gnl = jnp.stack([pocc[:, 0] - pocc[:, 1], pocc[:, 2] - pocc[:, 3],
+                     pocc[:, 4] - pocc[:, 5]], -1) / mp.delx
+    norm_g = jnp.sqrt(jnp.sum(gnl * gnl, -1))
+    dbl = act2 & (norm_g < 1e-3)
+    act3 = act2 & (norm_g >= 1e-3)
+
+    r_var = (r0_sqr_sum / 5.0 - r0_mean * r0_mean * 6.0 / 5.0) / mp.delx
+    gnl_n = gnl / jnp.maximum(norm_g, 1e-12)[:, None]
+    noise = mp.min_position_noise * jnp.clip(r_new * r_new, 1.0, 100.0)
+    grad_noise = jnp.clip(jnp.abs(occ_mean) + r_var, mp.min_grad_noise, 1.0)
+    dist = jnp.sqrt(jnp.sum(x_new * x_new, -1))
+    view_ang = jnp.maximum(
+        -jnp.sum(x_new * gnl_n, -1) / jnp.maximum(dist, 1e-12), 0.1)
+    view_noise = mp.min_position_noise * (1.0 - view_ang ** 2) / view_ang ** 2
+    noise = noise + view_noise + abs_oc
+    grad_noise = grad_noise + 0.1 * view_noise
+
+    pos_new = x_new @ rot.T + tr
+    grad_new = gnl_n @ rot.T
+
+    # --- fusion (GPisMap3.cpp:497-534) ---
+    fuse = grad_sig <= 0.5
+    psum = pos_sig + noise
+    pos_f = (noise[:, None] * pos + pos_sig[:, None] * pos_new) / psum[:, None]
+    dist_f = 0.5 * jnp.sqrt(jnp.sum((pos - pos_f) ** 2, -1))
+    grad_f = _quat_blend(grad, grad_new, noise / psum)
+    gsum = grad_sig + grad_noise
+    gnoise_f = jnp.minimum(
+        1.0, jnp.maximum(grad_noise * grad_sig / gsum + dist_f,
+                         mp.map_noise_param))
+    noise_f = jnp.maximum(noise * pos_sig / psum + dist_f,
+                          mp.map_noise_param)
+
+    pos_out = jnp.where(fuse[:, None], pos_f, pos_new)
+    grad_out = jnp.where(fuse[:, None], grad_f, grad_new)
+    noise_out = jnp.where(fuse, noise_f, noise)
+    gnoise_out = jnp.where(fuse, gnoise_f, grad_noise)
+
+    discard = (noise_out > 1.0) & (gnoise_out > 0.61)
+    action = jnp.where(
+        dbl, 1, jnp.where(act3 & discard, 2,
+                          jnp.where(act3, 3, 0))).astype(jnp.int32)
+    return Reeval3D(action=action, pos=pos_out, grad=grad_out,
+                    noise=noise_out, grad_noise=gnoise_out,
+                    dbl_pos_sig=2.0 * pos_sig, dbl_grad_sig=2.0 * grad_sig)
+
+
+class NewMeas3D(NamedTuple):
+    insert_ok: jnp.ndarray   # [P] flattened column-major over (n, m)
+    pos: jnp.ndarray         # [P, 3]
+    grad: jnp.ndarray        # [P, 3]
+    noise: jnp.ndarray       # [P]
+    grad_noise: jnp.ndarray  # [P]
+
+
+@functools.partial(jax.jit, static_argnames=("mp", "op", "chunk"))
+def newmeas_3d(obs: obsgp.ObsGP2DState, prep: Preproc3D, rot: jnp.ndarray,
+               mp: MapperParam, op: ObsGPParam,
+               chunk: int = 4096) -> NewMeas3D:
+    """Batched evalPoints (GPisMap3.cpp:580-696).
+
+    Outputs are flattened in the reference's pixel iteration order
+    (column-major: outer col, inner row; GPisMap3.cpp:586-589) so the host
+    insertion replay preserves dedup order.
+    """
+    m, n = prep.valid.shape
+    w = 1.0 / 6.0
+
+    vu0 = jnp.stack([jnp.broadcast_to(prep.v[:, None], (m, n)),
+                     jnp.broadcast_to(prep.u[None, :], (m, n))], -1)
+    _, var0 = obsgp.obsgp2d_test(obs, vu0.reshape(-1, 2), op, chunk)
+    gate = prep.valid & (var0.reshape(m, n) <= mp.obs_var_thre)
+
+    pert = jnp.asarray([[1., 0., 0.], [-1., 0., 0.], [0., 1., 0.],
+                        [0., -1., 0.], [0., 0., 1.], [0., 0., -1.]],
+                       prep.z.dtype) * mp.delx
+    ppos = prep.xyz_local[:, :, None, :] + pert[None, None]   # [M,N,6,3]
+    pz = jnp.where(jnp.abs(ppos[..., 2]) > 1e-12, ppos[..., 2], 1e-12)
+    pvu = jnp.stack([ppos[..., 1] / pz, ppos[..., 0] / pz], -1)
+    prinv0, pvar = obsgp.obsgp2d_test(obs, pvu.reshape(-1, 2), op, chunk)
+    prinv0 = prinv0.reshape(m, n, 6)
+    pvar = pvar.reshape(m, n, 6)
+    probe_ok = jnp.all(pvar <= mp.obs_var_thre, -1)
+    pocc = occ_test(1.0 / pz, prinv0, ppos[..., 2] * 30.0)
+    occ_mean = w * jnp.sum(pocc, -1)
+
+    graw = jnp.stack([pocc[..., 0] - pocc[..., 1],
+                      pocc[..., 2] - pocc[..., 3],
+                      pocc[..., 4] - pocc[..., 5]], -1) / mp.delx
+    norm2 = jnp.sum(graw * graw, -1)
+    hasg = norm2 > 1e-6
+    norm = jnp.sqrt(jnp.maximum(norm2, 1e-24))
+    gl = graw / norm[..., None]
+    gglob = gl @ rot.T
+
+    dist = jnp.sqrt(jnp.sum(prep.xyz_local ** 2, -1))
+    # 3D quirk: position noise saturates the LOCAL DISTANCE, not range^2
+    # (GPisMap3.cpp:676)
+    noise_g = mp.min_position_noise * jnp.clip(dist, 1.0, 100.0)
+    gnoise_g = jnp.clip(jnp.abs(occ_mean), mp.min_grad_noise, 1.0)
+    view_ang = jnp.maximum(
+        -jnp.sum(prep.xyz_local * gl, -1) / jnp.maximum(dist, 1e-12), 0.1)
+    view_noise = mp.min_position_noise * (1.0 - view_ang ** 2) / view_ang ** 2
+    noise_g = noise_g + view_noise
+
+    grad_out = jnp.where(hasg[..., None], gglob, graw)
+    noise = jnp.where(hasg, noise_g, 100.0)
+    gnoise = jnp.where(hasg, gnoise_g, 1.0)
+
+    def colmajor(a):
+        return jnp.swapaxes(a, 0, 1).reshape((m * n,) + a.shape[2:])
+
+    return NewMeas3D(insert_ok=colmajor(gate & probe_ok),
+                     pos=colmajor(prep.xyz_global),
+                     grad=colmajor(grad_out), noise=colmajor(noise),
+                     grad_noise=colmajor(gnoise))

@@ -62,8 +62,10 @@ def capture_2d(out_dir: str, max_frames: int | None = None):
     upd_t = raw[:len(frames)]
     test_t = raw[len(frames)]
     res = raw[len(frames) + 1:].reshape(len(xtest), 6)
+    name = "golden_2d.npz" if max_frames is None else \
+        f"golden_2d_f{len(frames)}.npz"
     np.savez_compressed(
-        os.path.join(out_dir, "golden_2d.npz"),
+        os.path.join(out_dir, name),
         res=res, xtest=xtest, grid_shape=shape,
         update_seconds=upd_t, test_seconds=test_t,
         frames=np.asarray([fr.frame for fr in frames]))
@@ -99,11 +101,19 @@ def capture_3d(out_dir: str, max_frames: int | None = None):
     raw = np.fromfile(out_path, "<f4")
     upd_t = raw[:len(frames)]
     test_t = raw[len(frames)]
-    res = raw[len(frames) + 1:].reshape(len(xtest), 8)
+    nres = len(xtest) * 8
+    res = raw[len(frames) + 1:len(frames) + 1 + nres].reshape(len(xtest), 8)
+    rest = raw[len(frames) + 1 + nres:]
+    nodes = np.zeros((0, 3), np.float32)
+    if len(rest):
+        npts = rest[:1].view(np.int32)[0]
+        nodes = rest[1:1 + 3 * npts].reshape(npts, 3)
+    name = "golden_3d.npz" if max_frames is None else \
+        f"golden_3d_f{len(frames)}.npz"
     np.savez_compressed(
-        os.path.join(out_dir, "golden_3d.npz"),
+        os.path.join(out_dir, name),
         res=res, xtest=xtest, grid_shape=shape,
-        update_seconds=upd_t, test_seconds=test_t,
+        update_seconds=upd_t, test_seconds=test_t, nodes=nodes,
         frames=np.asarray([fr.frame for fr in frames]))
     print(f"3D: {len(frames)} frames; ref update {upd_t.mean():.3f}s/frame "
           f"(total {upd_t.sum():.2f}s); test {test_t:.3f}s for "

@@ -126,10 +126,16 @@ static int run3d(const char* in_path, const char* out_path) {
   gpm.test(xtest.data(), 3, ntest, res.data());
   float test_t = (float)(now_s() - t0);
 
+  std::vector<float> pts;
+  gpm.getAllPoints(pts);
+  int npts = (int)(pts.size() / 3);
+
   FILE* out = fopen(out_path, "wb");
   fwrite(upd_t.data(), 4, nframes, out);
   fwrite(&test_t, 4, 1, out);
   fwrite(res.data(), 4, res.size(), out);
+  fwrite(&npts, 4, 1, out);
+  fwrite(pts.data(), 4, pts.size(), out);
   fclose(out);
   return 0;
 }
