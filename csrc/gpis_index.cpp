@@ -80,6 +80,14 @@ struct Tree {
   bool empty_leaf(int ci) const {
     return is_leaf(ci) && cells[ci].node < 0;
   }
+  // Reference child visitation order (NW,NE,SW,SE / NWF..SEB; quadtree.cpp
+  // :589-592, octree.cpp) maps to bit-order children via XOR with
+  // (nch - 2): processing order is observable through re-evaluation
+  // sequencing, so traversals must match it.
+  int visit_child(int ci, int j) const {
+    return child(ci, j ^ (nch - 2));
+  }
+
   bool contains(int ci, const float* p) const {
     const Cell& c = cells[ci];
     for (int a = 0; a < dim; ++a) {
@@ -320,13 +328,13 @@ struct Tree {
         subdivide(ci);
         cells[ci].node = -1;
         for (int k = 0; k < nch; ++k) {
-          if (insert_rec(child(ci, k), old)) break;
+          if (insert_rec(visit_child(ci, k), old)) break;
         }
       }
     }
 
     for (int k = 0; k < nch; ++k) {
-      if (insert_rec(child(ci, k), nid)) {
+      if (insert_rec(visit_child(ci, k), nid)) {
         mark_active_if_cluster(ci);
         // recompute subtree count (quadtree.cpp:314-323)
         int cnt = 0;
@@ -408,7 +416,7 @@ struct Tree {
         if (sqd(npos(cells[ci].node), bc) < bh2) out.push_back(cells[ci].node);
         continue;
       }
-      for (int k = nch - 1; k >= 0; --k) stack.push_back(child(ci, k));
+      for (int k = nch - 1; k >= 0; --k) stack.push_back(visit_child(ci, k));
     }
   }
 
@@ -423,7 +431,7 @@ struct Tree {
       if (!intersects(ci, bc, bh) || empty_leaf(ci)) continue;
       if (cells[ci].half > cluster_half + cluster_eps) {
         if (is_leaf(ci)) continue;
-        for (int k = nch - 1; k >= 0; --k) stack.push_back(child(ci, k));
+        for (int k = nch - 1; k >= 0; --k) stack.push_back(visit_child(ci, k));
       } else {
         out.push_back(ci);
         if (sqdst) sqdst->push_back(sqd(cells[ci].c, bc));
@@ -443,7 +451,7 @@ struct Tree {
         out.push_back(cells[c].node);
         continue;
       }
-      for (int k = nch - 1; k >= 0; --k) stack.push_back(child(c, k));
+      for (int k = nch - 1; k >= 0; --k) stack.push_back(visit_child(c, k));
     }
   }
 
@@ -462,7 +470,7 @@ struct Tree {
       if (empty_leaf(ci)) continue;
       if (cells[ci].half > cluster_half + cluster_eps) {
         if (is_leaf(ci)) continue;
-        for (int k = nch - 1; k >= 0; --k) stack.push_back(child(ci, k));
+        for (int k = nch - 1; k >= 0; --k) stack.push_back(visit_child(ci, k));
       } else {
         out.push_back(ci);
       }
@@ -742,6 +750,133 @@ int gpis_index_cell_nodes(void* h, int cell, int* out, int cap) {
 
 long long gpis_index_overflow_count(void* h) {
   return ((Tree*)h)->overflow_support;
+}
+
+}  // extern "C"
+
+// ---- checkpoint serialization ----
+// Byte stream: magic, version, params, then every pool verbatim. The tree
+// is restored exactly (cell ids, node ids and slots survive), which the
+// reference cannot do at all (its only lifecycle op is reset,
+// mexGPisMap.cpp:123-130).
+
+namespace {
+constexpr uint64_t kMagic = 0x47504953544d4150ull;  // "GPISTMAP"
+constexpr uint32_t kVersion = 1;
+
+template <typename T>
+void put_vec(std::vector<uint8_t>& out, const std::vector<T>& v) {
+  uint64_t n = v.size();
+  const uint8_t* p = (const uint8_t*)&n;
+  out.insert(out.end(), p, p + 8);
+  p = (const uint8_t*)v.data();
+  out.insert(out.end(), p, p + n * sizeof(T));
+}
+
+template <typename T>
+bool get_vec(const uint8_t*& p, const uint8_t* end, std::vector<T>& v) {
+  if (end - p < 8) return false;
+  uint64_t n;
+  std::memcpy(&n, p, 8);
+  p += 8;
+  if ((uint64_t)(end - p) < n * sizeof(T)) return false;
+  v.resize(n);
+  std::memcpy(v.data(), p, n * sizeof(T));
+  p += n * sizeof(T);
+  return true;
+}
+
+std::vector<uint8_t> serialize_tree(const Tree& t) {
+  std::vector<uint8_t> out;
+  auto put = [&out](const void* p, size_t n) {
+    out.insert(out.end(), (const uint8_t*)p, (const uint8_t*)p + n);
+  };
+  put(&kMagic, 8);
+  put(&kVersion, 4);
+  put(&t.dim, 4);
+  put(&t.min_half, 4);
+  put(&t.max_half, 4);
+  put(&t.root_half, 4);
+  put(&t.cluster_half, 4);
+  put(&t.cluster_eps, 4);
+  put(&t.root, 4);
+  put(&t.n_alive, 4);
+  put(&t.next_slot, 4);
+  put(&t.max_slots, 4);
+  put(&t.overflow_support, 8);
+  put_vec(out, t.cells);
+  put_vec(out, t.free_cells);
+  put_vec(out, t.child_table);
+  put_vec(out, t.free_child_groups);
+  put_vec(out, t.pos);
+  put_vec(out, t.grad);
+  put_vec(out, t.val);
+  put_vec(out, t.pos_sig);
+  put_vec(out, t.grad_sig);
+  put_vec(out, t.alive);
+  put_vec(out, t.node_cell);
+  put_vec(out, t.free_nodes);
+  put_vec(out, t.free_slots);
+  std::vector<int> act(t.active.begin(), t.active.end());
+  put_vec(out, act);
+  return out;
+}
+
+bool deserialize_tree(Tree& t, const uint8_t* p, size_t size) {
+  const uint8_t* end = p + size;
+  auto get = [&p, end](void* dst, size_t n) {
+    if ((size_t)(end - p) < n) return false;
+    std::memcpy(dst, p, n);
+    p += n;
+    return true;
+  };
+  uint64_t magic;
+  uint32_t ver;
+  if (!get(&magic, 8) || magic != kMagic) return false;
+  if (!get(&ver, 4) || ver != kVersion) return false;
+  if (!get(&t.dim, 4)) return false;
+  t.nch = 1 << t.dim;
+  if (!get(&t.min_half, 4) || !get(&t.max_half, 4)
+      || !get(&t.root_half, 4) || !get(&t.cluster_half, 4)
+      || !get(&t.cluster_eps, 4) || !get(&t.root, 4)
+      || !get(&t.n_alive, 4) || !get(&t.next_slot, 4)
+      || !get(&t.max_slots, 4) || !get(&t.overflow_support, 8)) {
+    return false;
+  }
+  t.min_half_sq = t.min_half * t.min_half;
+  std::vector<int> act;
+  bool ok = get_vec(p, end, t.cells) && get_vec(p, end, t.free_cells)
+      && get_vec(p, end, t.child_table)
+      && get_vec(p, end, t.free_child_groups) && get_vec(p, end, t.pos)
+      && get_vec(p, end, t.grad) && get_vec(p, end, t.val)
+      && get_vec(p, end, t.pos_sig) && get_vec(p, end, t.grad_sig)
+      && get_vec(p, end, t.alive) && get_vec(p, end, t.node_cell)
+      && get_vec(p, end, t.free_nodes) && get_vec(p, end, t.free_slots)
+      && get_vec(p, end, act);
+  if (!ok) return false;
+  t.active = std::unordered_set<int>(act.begin(), act.end());
+  return true;
+}
+
+std::vector<uint8_t> g_ser_buf;
+}  // namespace
+
+extern "C" {
+
+long long gpis_index_serialize_size(void* h) {
+  g_ser_buf = serialize_tree(*(Tree*)h);
+  return (long long)g_ser_buf.size();
+}
+
+void gpis_index_serialize(void* h, uint8_t* out) {
+  if (g_ser_buf.empty()) g_ser_buf = serialize_tree(*(Tree*)h);
+  std::memcpy(out, g_ser_buf.data(), g_ser_buf.size());
+  g_ser_buf.clear();
+  g_ser_buf.shrink_to_fit();
+}
+
+int gpis_index_deserialize(void* h, const uint8_t* buf, long long size) {
+  return deserialize_tree(*(Tree*)h, buf, (size_t)size) ? 0 : 1;
 }
 
 int gpis_index_root_cell(void* h) { return ((Tree*)h)->root; }

@@ -33,7 +33,8 @@ class GPisMap3D:
                  tree: TreeParam = TREE_3D,
                  cap: CapacityParam = CAPACITY_3D,
                  camera: Optional[CameraParam] = None,
-                 compat_reloc: bool = True):
+                 compat_reloc: bool = True,
+                 strict_reeval: bool = True):
         self.p = params
         self.op = obs_param
         self.tp = tree
@@ -41,6 +42,11 @@ class GPisMap3D:
         self.dim = 3
         self.cam = camera or CameraParam()
         self.compat_reloc = compat_reloc
+        # per-cluster sequential re-evaluation (see GPisMap2D); in 3D the
+        # relocation step is comparable to the 0.05 m cluster size, so
+        # nodes cross cell boundaries often enough that snapshot batching
+        # visibly shifts the node set — strict order is the default
+        self.strict_reeval = strict_reeval
         self.index = SpatialIndex(self.dim, tree, max_slots=cap.max_cells)
         self.store = cluster.make_store(cap, self.dim)
         self.cell_size = 2.0 * tree.cluster_halfleng
@@ -151,12 +157,18 @@ class GPisMap3D:
         keep &= within
         if not keep.any():
             return
-        node_ids = [self.index.cell_nodes(c) for c in cells[keep]]
-        node_ids = np.concatenate(node_ids) if node_ids else np.zeros(
-            0, np.int32)
+        if self.strict_reeval:
+            for c in cells[keep]:
+                self._reeval_apply(obs, self.index.cell_nodes(c), tr, rot)
+        else:
+            node_ids = [self.index.cell_nodes(c) for c in cells[keep]]
+            node_ids = np.concatenate(node_ids) if node_ids else np.zeros(
+                0, np.int32)
+            self._reeval_apply(obs, node_ids, tr, rot)
+
+    def _reeval_apply(self, obs, node_ids, tr, rot):
         if len(node_ids) == 0:
             return
-
         d = self.index.dump_nodes()
         k = _next_pow2(len(node_ids))
         sel = np.zeros(k, np.int32)
@@ -241,7 +253,8 @@ class GPisMap3D:
             grad_const=self.p.three_over_scale + 0.001,
             var_thre=self.p.test_var_thre,
             default_var=1.0 + self.p.map_noise_param,
-            tile=self.cap.test_tile, max_cells=self.cap.max_cells)
+            tile=self.cap.test_tile, max_cells=self.cap.max_cells,
+            max_active=self.cap.test_active_cells)
         out = np.concatenate(
             [np.asarray(f)[:, None], np.asarray(g),
              np.asarray(vf)[:, None], np.asarray(vg)], axis=-1)

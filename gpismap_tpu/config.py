@@ -183,10 +183,14 @@ class CapacityParam:
     max_nodes: int = 65536
     # Tile size for segmented per-cell test evaluation.
     test_tile: int = 128
+    # Max DISTINCT cluster cells one test batch may touch (bounds the
+    # transient per-call factor buffer [max_active, M', M']).
+    test_active_cells: int = 512
     # Max observation beams / rays per frame (2D scan length padding).
     max_beams: int = 512
 
 
 CAPACITY_2D = CapacityParam()
 CAPACITY_3D = CapacityParam(gp_support=320, retrain_batch=32, max_cells=4096,
-                            max_nodes=131072, test_tile=128, max_beams=512)
+                            max_nodes=131072, test_tile=128,
+                            test_active_cells=320, max_beams=512)

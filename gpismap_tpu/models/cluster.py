@@ -99,29 +99,67 @@ def clear_slots(store: ClusterStore, slots: jnp.ndarray,
     return store._replace(trained=trained)
 
 
-def _ongpis_eval_tile(store: ClusterStore, segs: jnp.ndarray,
+def _factorize_cells(store: ClusterStore, slots: jnp.ndarray, scale: float,
+                     chunk: int = 16) -> jnp.ndarray:
+    """L^-1 for the given slots, chunked: [S, M', M'].
+
+    Each active cell is factorized exactly ONCE per test call (the
+    persistent store keeps no factors; see ClusterStore). slots may
+    contain out-of-range fill entries — they produce identity factors.
+    """
+    from ..ops.gp import linv_from_chol, ongpis_prepare
+
+    s = slots.shape[0]
+    pad = (-s) % chunk
+    sl = jnp.concatenate([slots, jnp.full((pad,), -1, slots.dtype)])
+    sl = sl.reshape(-1, chunk)
+
+    mp_ = store.alpha.shape[-1]
+
+    def compute(slc):
+        sc = jnp.clip(slc, 0, store.x.shape[0] - 1)
+        xs = store.x[sc]
+        vl = store.valid[sc] & (slc >= 0)[:, None]
+        gradflag, sigx = ongpis_prepare(store.grad[sc], store.sigx[sc],
+                                        store.siggrad[sc], vl)
+        k = kernels.matern32_deriv_train_cov(xs, sigx, store.siggrad[sc],
+                                             gradflag, vl, scale)
+        return linv_from_chol(jnp.linalg.cholesky(k))
+
+    def one(slc):
+        return jax.lax.cond(
+            jnp.any(slc >= 0), compute,
+            lambda _: jnp.broadcast_to(jnp.eye(mp_, dtype=store.x.dtype),
+                                       (chunk, mp_, mp_)), slc)
+
+    linv = jax.lax.map(one, sl)
+    mp = store.alpha.shape[-1]
+    return linv.reshape(-1, mp, mp)[:s]
+
+
+def _ongpis_eval_tile(store: ClusterStore, linv_buf: jnp.ndarray,
+                      slot_of: jnp.ndarray, segs: jnp.ndarray,
                       q: jnp.ndarray, scale: float, val_const: float,
                       grad_const: float):
     """Evaluate tiles of queries against their cells' GPs.
 
-    Rebuilds and factorizes each tile's train covariance on the fly (see
-    ClusterStore docstring); mean from the cached alpha, variance from the
-    fresh Cholesky — the reference's exact algorithm
-    (OnGPIS.cpp:177-263), batched over tiles.
+    Mean from the cached alpha, variance via the prefactorized L^-1
+    (gathered per tile from the transient buffer) — the reference's
+    algorithm (OnGPIS.cpp:177-263) with matmuls only in the hot loop.
 
-    segs: [G] slot ids; q: [G, T, D]. Returns (f, grad, varf, vargrad).
+    segs: [G] COMPACT cell ids (indices into linv_buf / slot_of);
+    q: [G, T, D]. Returns (f, grad, varf, vargrad).
     """
-    from ..ops.gp import _solve_lower, ongpis_prepare
+    from ..ops.gp import ongpis_prepare
 
-    sc = jnp.clip(segs, 0, store.x.shape[0] - 1)
+    segc = jnp.clip(segs, 0, linv_buf.shape[0] - 1)
+    sc = jnp.clip(slot_of[segc], 0, store.x.shape[0] - 1)
     xs = store.x[sc]
     vl = store.valid[sc]
     al = store.alpha[sc]
-    gradflag, sigx = ongpis_prepare(store.grad[sc], store.sigx[sc],
-                                    store.siggrad[sc], vl)
-    k = kernels.matern32_deriv_train_cov(xs, sigx, store.siggrad[sc],
-                                         gradflag, vl, scale)
-    lo = jnp.linalg.cholesky(k)
+    li = linv_buf[segc]
+    gradflag, _ = ongpis_prepare(store.grad[sc], store.sigx[sc],
+                                 store.siggrad[sc], vl)
 
     d = xs.shape[-1]
     t = q.shape[-2]
@@ -130,7 +168,7 @@ def _ongpis_eval_tile(store: ClusterStore, segs: jnp.ndarray,
     f = res[..., :t]
     grad = jnp.stack([res[..., (1 + i) * t:(2 + i) * t] for i in range(d)],
                      axis=-1)
-    v = _solve_lower(lo, ks)
+    v = jnp.einsum('gmn,gnq->gmq', li, ks)
     vs = jnp.sum(v * v, axis=-2)
     varf = val_const - vs[..., :t]
     vargrad = jnp.stack(
@@ -178,12 +216,12 @@ def _grid_candidates(grid: jnp.ndarray, q: jnp.ndarray, cell_size: float,
     jax.jit,
     static_argnames=("cell_size", "grid_half", "noff", "search_half",
                      "scale", "val_const", "grad_const", "var_thre",
-                     "default_var", "tile", "max_cells"))
+                     "default_var", "tile", "max_cells", "max_active"))
 def map_test(store: ClusterStore, grid: jnp.ndarray, q: jnp.ndarray,
              cell_size: float, grid_half: int, noff: int,
              search_half: float, scale: float, val_const: float,
              grad_const: float, var_thre: float, default_var: float,
-             tile: int, max_cells: int):
+             tile: int, max_cells: int, max_active: int = 512):
     """Batched SDF+gradient+variance query.
 
     Parity: GPisMap.cpp:665-763 (2D; var_thre 0.4) and
@@ -191,6 +229,10 @@ def map_test(store: ClusterStore, grid: jnp.ndarray, q: jnp.ndarray,
     cluster cells intersecting the search box, evaluate the nearest cell's
     GP, fall back to the up-to-3 nearest with variance-weighted blending of
     the best two when the nearest is uncertain.
+
+    max_active bounds the number of DISTINCT cluster cells one query batch
+    may touch (each is Cholesky-factorized once into a transient buffer);
+    overflowing cells are dropped from blending.
 
     Returns (f [Q], grad [Q, D], varf [Q], vargrad [Q, D]).
     """
@@ -209,12 +251,24 @@ def map_test(store: ClusterStore, grid: jnp.ndarray, q: jnp.ndarray,
     pair_seg = jnp.where(top_ok, top_slot, -1).reshape(-1)    # [3Q]
     pair_q = jnp.repeat(q, 3, axis=0)
 
-    plan = segmented.plan_tiles(pair_seg, max_cells, tile)
+    # compact the touched slots; factorize each exactly once
+    big = jnp.iinfo(jnp.int32).max
+    seg_for_uniq = jnp.where(pair_seg >= 0, pair_seg, big)
+    uniq = jnp.unique(seg_for_uniq, size=max_active, fill_value=big)
+    slot_of = jnp.where(uniq < big, uniq, -1).astype(jnp.int32)
+    comp = jnp.searchsorted(uniq, pair_seg)
+    comp = jnp.clip(comp, 0, max_active - 1)
+    hit = (pair_seg >= 0) & (uniq[comp] == pair_seg)
+    pair_comp = jnp.where(hit, comp, -1).astype(jnp.int32)
+
+    linv_buf = _factorize_cells(store, slot_of, scale)
+
+    plan = segmented.plan_tiles(pair_comp, max_active, tile)
 
     def eval_tile(segs, pids):
         qt = pair_q[jnp.clip(pids, 0)]                        # [G, T, D]
-        return _ongpis_eval_tile(store, segs, qt, scale, val_const,
-                                 grad_const)
+        return _ongpis_eval_tile(store, linv_buf, slot_of, segs, qt, scale,
+                                 val_const, grad_const)
 
     out0 = (jnp.zeros((3 * nq,), q.dtype),
             jnp.zeros((3 * nq, d), q.dtype),

@@ -199,7 +199,11 @@ def reeval_3d(obs: obsgp.ObsGP2DState, pos: jnp.ndarray, grad: jnp.ndarray,
 
     r_var = (r0_sqr_sum / 5.0 - r0_mean * r0_mean * 6.0 / 5.0) / mp.delx
     gnl_n = gnl / jnp.maximum(norm_g, 1e-12)[:, None]
-    noise = mp.min_position_noise * jnp.clip(r_new * r_new, 1.0, 100.0)
+    # reference quirk: the probe loop overwrites r_new with each probe's z
+    # (GPisMap3.cpp:429), so the noise model sees the LAST probe's depth
+    # x_new_z - delx, not the relocated depth
+    r_probe = x_new[:, 2] - mp.delx
+    noise = mp.min_position_noise * jnp.clip(r_probe * r_probe, 1.0, 100.0)
     grad_noise = jnp.clip(jnp.abs(occ_mean) + r_var, mp.min_grad_noise, 1.0)
     dist = jnp.sqrt(jnp.sum(x_new * x_new, -1))
     view_ang = jnp.maximum(

@@ -194,11 +194,15 @@ def fit_obsgp2d(v_coords: jnp.ndarray, u_coords: jnp.ndarray,
     i0c = jnp.clip(i0, 0, ni - 1)
     j0c = jnp.clip(j0, 0, nj - 1)
 
-    # cell (a, b) window pixels: rows i0[a, :] x cols j0[b, :]
-    rows = i0c[:, None, :, None]            # [nG0, 1, W, 1]
-    cols = j0c[None, :, None, :]            # [1, nG1, 1, W]
-    fv = f[rows, cols]                      # [nG0, nG1, W, W]
-    inwin = irange[:, None, :, None] & jrange[None, :, None, :]
+    # cell (a, b) window pixels ordered column-outer/row-inner to match the
+    # reference's gather order (ObsGP.cpp:301-309) — identical float
+    # accumulation order in the per-cell Cholesky keeps f32 rounding
+    # aligned with the reference (identity-masked rows contribute exact
+    # zeros, so only the relative order of real pixels matters)
+    rows = i0c[:, None, None, :]            # [nG0, 1, 1, W] (inner)
+    cols = j0c[None, :, :, None]            # [1, nG1, W, 1] (outer)
+    fv = f[rows, cols]                      # [nG0, nG1, Wj, Wi]
+    inwin = irange[:, None, None, :] & jrange[None, :, :, None]
     pix_ok = inwin & (fv > 0)
 
     vs = v_coords[rows] + jnp.zeros_like(fv)

@@ -85,8 +85,7 @@ def segmented_eval(plan: TilePlan, eval_tile, out_init, tile_chunk: int = 8):
         lambda o: jnp.concatenate([o, jnp.zeros((1,) + o.shape[1:], o.dtype)]),
         out_init)
 
-    def body(out, args):
-        segs, pids = args                       # [G], [G, T]
+    def compute(out, segs, pids):
         res = eval_tile(segs, pids)             # pytree [G, T, ...]
         mask = (pids >= 0) & (segs[:, None] >= 0)
         tgt = jnp.where(mask, pids, p).reshape(-1)
@@ -95,7 +94,15 @@ def segmented_eval(plan: TilePlan, eval_tile, out_init, tile_chunk: int = 8):
             r2 = r.reshape((tgt.shape[0],) + r.shape[2:])
             return o.at[tgt].set(r2, mode='drop')
 
-        out = jax.tree.map(scatter, out, res)
+        return jax.tree.map(scatter, out, res)
+
+    def body(out, args):
+        segs, pids = args                       # [G], [G, T]
+        # tiles are packed densely at the front; all-empty chunks (the
+        # static padding up to NT) skip the factorization entirely
+        out = jax.lax.cond(jnp.any(segs >= 0),
+                           lambda o: compute(o, segs, pids),
+                           lambda o: o, out)
         return out, None
 
     out, _ = jax.lax.scan(body, out_ext, (tile_seg, pair_ids))

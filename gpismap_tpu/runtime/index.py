@@ -92,6 +92,12 @@ def _load() -> ct.CDLL:
         lib.gpis_index_overflow_count.argtypes = [ct.c_void_p]
         lib.gpis_index_max_slot.restype = ct.c_int
         lib.gpis_index_max_slot.argtypes = [ct.c_void_p]
+        lib.gpis_index_serialize_size.restype = ct.c_longlong
+        lib.gpis_index_serialize_size.argtypes = [ct.c_void_p]
+        lib.gpis_index_serialize.argtypes = [ct.c_void_p, _U8P]
+        lib.gpis_index_deserialize.restype = ct.c_int
+        lib.gpis_index_deserialize.argtypes = [ct.c_void_p, _U8P,
+                                               ct.c_longlong]
         _LIB = lib
         return lib
 
@@ -242,6 +248,20 @@ class SpatialIndex:
         out = np.empty(cap, np.int32)
         n = self._lib.gpis_index_cell_nodes(self._h, int(cell), out, cap)
         return out[:min(n, cap)].copy()
+
+    def serialize(self) -> np.ndarray:
+        """Full tree state as a byte blob (exact restore incl. node ids,
+        cell structure and slots)."""
+        n = self._lib.gpis_index_serialize_size(self._h)
+        buf = np.empty(n, np.uint8)
+        self._lib.gpis_index_serialize(self._h, buf)
+        return buf
+
+    def deserialize(self, blob: np.ndarray) -> None:
+        blob = np.ascontiguousarray(blob, np.uint8)
+        rc = self._lib.gpis_index_deserialize(self._h, blob, blob.shape[0])
+        if rc != 0:
+            raise ValueError("invalid index checkpoint blob")
 
     def collect_retrain(self, radius_times: float, support_cap: int,
                         cell_cap: int):

@@ -1,0 +1,77 @@
+"""End-to-end parity vs captured reference goldens (short sequences).
+
+Goldens are produced by tools/capture_goldens.py from the UNMODIFIED
+reference C++ compiled behind tools/ref_baseline/ref_driver.cpp.
+"""
+import os
+
+import numpy as np
+import pytest
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
+
+
+def _need(name):
+    p = os.path.join(GOLDEN_DIR, name)
+    if not os.path.exists(p):
+        pytest.skip(f"golden {name} not captured")
+    return np.load(p)
+
+
+@pytest.mark.slow
+def test_parity_2d_two_frames():
+    from gpismap_tpu import datasets
+    from gpismap_tpu.api import GPisMap2D
+
+    g = _need("golden_2d_f2.npz")
+    xtest = g["xtest"][::64]
+    ref = g["res"][::64]
+
+    m = GPisMap2D()
+    for fr in list(datasets.gazebo_frames())[:2]:
+        m.update(fr.thetas, fr.ranges, fr.pose)
+    res = m.test(xtest)
+
+    mapped_ref = ref[:, 3] < 1.0
+    mapped = res[:, 3] < 1.0
+    agree = (mapped_ref == mapped).mean()
+    assert agree > 0.99, f"mapped agreement {agree}"
+    both = mapped_ref & mapped
+    assert both.sum() > 50
+    df = np.abs(res[both, 0] - ref[both, 0])
+    dg = np.abs(res[both, 1:3] - ref[both, 1:3])
+    assert np.median(df) < 5e-3, np.median(df)
+    assert np.percentile(df, 95) < 5e-2
+    assert np.median(dg) < 5e-3
+
+
+@pytest.mark.slow
+def test_parity_3d_one_frame():
+    from gpismap_tpu import datasets
+    from gpismap_tpu.api3d import GPisMap3D
+
+    g = _need("golden_3d_f1.npz")
+    xtest = g["xtest"][::16]
+    ref = g["res"][::16]
+
+    m = GPisMap3D()
+    fr = next(datasets.bigbird_frames())
+    m.set_camera(fr.cam_id, "bigbird")
+    m.update(fr.depth, fr.pose)
+
+    # node-set parity is exact after one frame
+    nodes_ref = g["nodes"]
+    ours = m.get_all_points()
+    assert len(ours) == len(nodes_ref)
+
+    res = m.test(xtest)
+    mapped_ref = ref[:, 4] < 1.0
+    mapped = res[:, 4] < 1.0
+    agree = (mapped_ref == mapped).mean()
+    assert agree > 0.995, f"mapped agreement {agree}"
+    both = mapped_ref & mapped
+    df = np.abs(res[both, 0] - ref[both, 0])
+    dg = np.abs(res[both, 1:4] - ref[both, 1:4])
+    assert np.median(df) < 2e-3, np.median(df)
+    assert np.median(dg) < 2e-3, np.median(dg)
+    assert np.percentile(df, 95) < 2e-2

@@ -107,6 +107,7 @@ static int run3d(const char* in_path, const char* out_path) {
 
   GPisMap3 gpm;
   std::vector<float> upd_t(nframes);
+  std::vector<float> counts(nframes);
   for (int fidx = 0; fidx < nframes; ++fidx) {
     std::vector<float> intr = read_floats(in, 4);
     std::vector<float> pose = read_floats(in, 12);
@@ -117,6 +118,10 @@ static int run3d(const char* in_path, const char* out_path) {
     double t0 = now_s();
     gpm.update(depth.data(), width * height, pose);
     upd_t[fidx] = (float)(now_s() - t0);
+    std::vector<float> pf;
+    gpm.getAllPoints(pf);
+    counts[fidx] = (float)(pf.size() / 3);
+    fprintf(stderr, "frame %d: %d nodes\n", fidx, (int)(pf.size() / 3));
   }
   std::vector<float> xtest = read_floats(in, (size_t)3 * ntest);
   fclose(in);
