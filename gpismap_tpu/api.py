@@ -102,23 +102,20 @@ class GPisMap2D:
         rg_p[:len(ranges)] = ranges
         # padded beams carry invalid range 0 -> range-gated out
 
-        prep = mapper2d.preprocess_2d(jnp.asarray(th_p), jnp.asarray(rg_p),
-                                      jnp.asarray(tr), jnp.asarray(rot),
-                                      self.p)
+        # Steps 1+3 compute (fused single dispatch): preprocess, obs-GP
+        # fit, new-measurement evaluation (GPisMap.cpp:169-179,457-572)
+        prep, obs, nm = mapper2d.frame_compute_2d(
+            jnp.asarray(th_p), jnp.asarray(rg_p), jnp.asarray(tr),
+            jnp.asarray(rot), self.p, self.op,
+            g_max=nb // self.op.group_size + 2)
         n_valid = int(jnp.sum(prep.valid))
         if n_valid <= 1:           # preproData failure (GPisMap.cpp:145-148)
             return
 
-        # Step 1: observation regression (GPisMap.cpp:169-179)
-        obs = obsgp.fit_obsgp1d(prep.theta, prep.f, prep.valid, self.op,
-                                g_max=nb // self.op.group_size + 2)
-
         # Step 2: re-evaluate existing in-view nodes (GPisMap.cpp:181-233)
         self._update_map_points(obs, prep, tr, rot)
 
-        # Step 3: insert new measurements (GPisMap.cpp:457-572)
-        nm = mapper2d.newmeas_2d(obs, prep, jnp.asarray(rot), self.p,
-                                 self.op)
+        # Step 3 apply: insert new measurements
         ok = np.asarray(nm.insert_ok)
         n_new = 0
         if ok.any():

@@ -99,17 +99,14 @@ class GPisMap3D:
         tr = pose[:3]
         rot = pose[3:12].reshape(3, 3, order="F")
 
-        prep = mapper3d.preprocess_3d(jnp.asarray(depth), jnp.asarray(tr),
-                                      jnp.asarray(rot), self.cam, self.p)
+        prep, obs, nm = mapper3d.frame_compute_3d(
+            jnp.asarray(depth), jnp.asarray(tr), jnp.asarray(rot), self.cam,
+            self.p, self.op)
         if int(jnp.sum(prep.valid)) <= 1:
             return
 
-        obs = obsgp.fit_obsgp2d(prep.v, prep.u, prep.zinv, self.op)
-
         self._update_map_points(obs, prep, tr, rot)
 
-        nm = mapper3d.newmeas_3d(obs, prep, jnp.asarray(rot), self.p,
-                                 self.op)
         ok = np.asarray(nm.insert_ok)
         if ok.any():
             cand = np.asarray(nm.pos)[ok]

@@ -259,3 +259,17 @@ def newmeas_2d(obs: obsgp.ObsGP1DState, prep: Preproc2D, rot: jnp.ndarray,
     gnoise = jnp.where(hasg, gnoise_g, 1.0)
     return NewMeas2D(insert_ok=gate & probe_ok, pos=prep.xy_global,
                      grad=grad_out, noise=noise, grad_noise=gnoise)
+
+
+@functools.partial(jax.jit, static_argnames=("mp", "op", "g_max", "chunk"))
+def frame_compute_2d(theta: jnp.ndarray, rng: jnp.ndarray, tr: jnp.ndarray,
+                     rot: jnp.ndarray, mp: MapperParam, op: ObsGPParam,
+                     g_max: int, chunk: int = 1024):
+    """Fused tree-independent frame stages: preprocess + observation-GP
+    fit + new-measurement evaluation in ONE dispatch (the tunnel to the
+    TPU makes per-call latency expensive; the reference pays none because
+    everything is in-process C++)."""
+    prep = preprocess_2d(theta, rng, tr, rot, mp)
+    obs = obsgp.fit_obsgp1d(prep.theta, prep.f, prep.valid, op, g_max=g_max)
+    nm = newmeas_2d(obs, prep, rot, mp, op, chunk)
+    return prep, obs, nm

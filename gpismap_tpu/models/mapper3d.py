@@ -311,3 +311,15 @@ def newmeas_3d(obs: obsgp.ObsGP2DState, prep: Preproc3D, rot: jnp.ndarray,
                      pos=colmajor(prep.xyz_global),
                      grad=colmajor(grad_out), noise=colmajor(noise),
                      grad_noise=colmajor(gnoise))
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "mp", "op", "chunk"))
+def frame_compute_3d(depth: jnp.ndarray, tr: jnp.ndarray, rot: jnp.ndarray,
+                     cam: CameraParam, mp: MapperParam, op: ObsGPParam,
+                     chunk: int = 4096):
+    """Fused tree-independent frame stages (see mapper2d.frame_compute_2d).
+    """
+    prep = preprocess_3d(depth, tr, rot, cam, mp)
+    obs = obsgp.fit_obsgp2d(prep.v, prep.u, prep.zinv, op)
+    nm = newmeas_3d(obs, prep, rot, mp, op, chunk)
+    return prep, obs, nm
