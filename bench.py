@@ -20,16 +20,24 @@ N_FRAMES = 28            # full demo schedule
 
 
 def main():
+    import jax
+    # persistent compile cache: the tunneled TPU pays minutes per compile;
+    # repeat bench runs should pay none
+    jax.config.update("jax_compilation_cache_dir", "/tmp/gpismap_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from gpismap_tpu import datasets
     from gpismap_tpu.api import GPisMap2D
 
     m = GPisMap2D()
     frames = list(datasets.gazebo_frames())[:N_FRAMES]
     t_upd = []
-    for fr in frames:
+    for i, fr in enumerate(frames):
         t0 = time.time()
         m.update(fr.thetas, fr.ranges, fr.pose)
         t_upd.append(time.time() - t0)
+        print(f"# frame {i}: {t_upd[-1]:.2f}s nodes={m.num_nodes}",
+              file=sys.stderr, flush=True)
 
     xtest, _ = datasets.gazebo_test_grid()
     # warm-up (compile) at the benchmark shape, then measure

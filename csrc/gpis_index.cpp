@@ -577,6 +577,26 @@ void gpis_index_dump_nodes(void* h, float* pos, float* grad, float* val,
   std::memcpy(alive_out, t->alive.data(), cap * sizeof(uint8_t));
 }
 
+// Gather node rows for an id list (invalid ids produce zero rows).
+void gpis_index_get_nodes(void* h, const int* ids, int n, float* pos,
+                          float* grad, float* val, float* pos_sig,
+                          float* grad_sig, uint8_t* alive_out) {
+  Tree* t = (Tree*)h;
+  int d = t->dim;
+  for (int i = 0; i < n; ++i) {
+    int nid = ids[i];
+    bool ok = nid >= 0 && nid < (int)t->alive.size() && t->alive[nid];
+    alive_out[i] = ok ? 1 : 0;
+    for (int a = 0; a < d; ++a) {
+      pos[(size_t)i * d + a] = ok ? t->pos[(size_t)nid * d + a] : 0.f;
+      grad[(size_t)i * d + a] = ok ? t->grad[(size_t)nid * d + a] : 0.f;
+    }
+    val[i] = ok ? t->val[nid] : 0.f;
+    pos_sig[i] = ok ? t->pos_sig[nid] : 0.f;
+    grad_sig[i] = ok ? t->grad_sig[nid] : 0.f;
+  }
+}
+
 int gpis_index_query_range(void* h, const float* center, float half,
                            int* out, int cap) {
   Tree* t = (Tree*)h;

@@ -102,18 +102,43 @@ class GPisMap2D:
         rg_p[:len(ranges)] = ranges
         # padded beams carry invalid range 0 -> range-gated out
 
-        # Steps 1+3 compute (fused single dispatch): preprocess, obs-GP
-        # fit, new-measurement evaluation (GPisMap.cpp:169-179,457-572)
-        prep, obs, nm = mapper2d.frame_compute_2d(
-            jnp.asarray(th_p), jnp.asarray(rg_p), jnp.asarray(tr),
-            jnp.asarray(rot), self.p, self.op,
-            g_max=nb // self.op.group_size + 2)
-        n_valid = int(jnp.sum(prep.valid))
+        # host-side range gate (identical to preprocess_2d's, so the
+        # in-view cull can run BEFORE the single fused device dispatch)
+        validh = (rg_p > self.p.min_range) & (rg_p < self.p.max_range)
+        n_valid = int(validh.sum())
         if n_valid <= 1:           # preproData failure (GPisMap.cpp:145-148)
             return
+        rmax = float(rg_p[validh].max())
+        g_max = nb // self.op.group_size + 2
 
-        # Step 2: re-evaluate existing in-view nodes (GPisMap.cpp:181-233)
-        self._update_map_points(obs, prep, tr, rot)
+        if self.strict_reeval:
+            prep, obs, nm = mapper2d.frame_compute_2d(
+                jnp.asarray(th_p), jnp.asarray(rg_p), jnp.asarray(tr),
+                jnp.asarray(rot), self.p, self.op, g_max=g_max)
+            self._update_map_points(obs, tr, rot, rmax)
+        else:
+            # whole frame in ONE device dispatch (+ retrain below)
+            node_ids = self._inview_node_ids(tr, rot, rmax)
+            k = _next_pow2(max(len(node_ids), 1))
+            sel = np.full(k, -1, np.int32)
+            sel[:len(node_ids)] = node_ids
+            d = self.index.get_nodes(sel)
+            nvalid = np.zeros(k, bool)
+            nvalid[:len(node_ids)] = True
+            rv, nm = mapper2d.frame_update_2d(
+                jnp.asarray(th_p), jnp.asarray(rg_p), jnp.asarray(tr),
+                jnp.asarray(rot), jnp.asarray(d["pos"]),
+                jnp.asarray(d["grad"]), jnp.asarray(d["pos_sig"]),
+                jnp.asarray(d["grad_sig"]), jnp.asarray(nvalid), self.p,
+                self.op, g_max=g_max)
+            n = len(node_ids)
+            if n:
+                self.index.apply_reeval(
+                    node_ids, np.asarray(rv.action)[:n],
+                    np.asarray(rv.pos)[:n], np.asarray(rv.grad)[:n],
+                    np.asarray(rv.noise)[:n], np.asarray(rv.grad_noise)[:n],
+                    np.asarray(rv.dbl_pos_sig)[:n],
+                    np.asarray(rv.dbl_grad_sig)[:n], -self.p.fbias)
 
         # Step 3 apply: insert new measurements
         ok = np.asarray(nm.insert_ok)
@@ -144,13 +169,14 @@ class GPisMap2D:
         self.frame += 1
 
     # ------------------------------------------------------------------
-    def _update_map_points(self, obs, prep, tr, rot):
+    def _inview_cells(self, tr, rot, rmax):
+        """Cluster cells passing the range + FOV culls
+        (GPisMap.cpp:184-222), in reference traversal order."""
         if self.index.num_nodes == 0:
-            return
-        rmax = float(prep.range_obs_max)
+            return np.zeros(0, np.int32)
         cells, _ = self.index.query_cluster_cells(tr, rmax, cap=65536)
         if len(cells) == 0:
-            return
+            return cells
         centers, halfs, _ = self.index.cell_info(cells)
         # range cull (GPisMap.cpp:196-199)
         sqr = np.sum((centers - tr) ** 2, -1)
@@ -164,32 +190,35 @@ class GPisMap2D:
         lim = self.p.angle_obs_limit
         within = np.any((ang > lim[0]) & (ang < lim[1]), axis=-1)
         keep &= within
-        if not keep.any():
-            return
-        if self.strict_reeval:
-            # reference order: gather each cell's nodes at processing time
-            # (after earlier cells' mutations), GPisMap.cpp:192-229
-            for c in cells[keep]:
-                self._reeval_apply(obs, self.index.cell_nodes(c), tr, rot)
-        else:
-            node_ids = [self.index.cell_nodes(c) for c in cells[keep]]
-            node_ids = np.concatenate(node_ids) if node_ids else np.zeros(
-                0, np.int32)
-            self._reeval_apply(obs, node_ids, tr, rot)
+        return cells[keep]
+
+    def _inview_node_ids(self, tr, rot, rmax):
+        cells = self._inview_cells(tr, rot, rmax)
+        if len(cells) == 0:
+            return np.zeros(0, np.int32)
+        ids = [self.index.cell_nodes(c) for c in cells]
+        return np.concatenate(ids) if ids else np.zeros(0, np.int32)
+
+    def _update_map_points(self, obs, tr, rot, rmax):
+        # strict mode: reference order — gather each cell's nodes at
+        # processing time (after earlier cells' mutations),
+        # GPisMap.cpp:192-229
+        for c in self._inview_cells(tr, rot, rmax):
+            self._reeval_apply(obs, self.index.cell_nodes(c), tr, rot)
 
     def _reeval_apply(self, obs, node_ids, tr, rot):
         if len(node_ids) == 0:
             return
-        d = self.index.dump_nodes()
         k = _next_pow2(len(node_ids))
-        sel = np.zeros(k, np.int32)
+        sel = np.full(k, -1, np.int32)
         sel[:len(node_ids)] = node_ids
+        d = self.index.get_nodes(sel)
         valid = np.zeros(k, bool)
         valid[:len(node_ids)] = True
 
         rv = mapper2d.reeval_2d(
-            obs, jnp.asarray(d["pos"][sel]), jnp.asarray(d["grad"][sel]),
-            jnp.asarray(d["pos_sig"][sel]), jnp.asarray(d["grad_sig"][sel]),
+            obs, jnp.asarray(d["pos"]), jnp.asarray(d["grad"]),
+            jnp.asarray(d["pos_sig"]), jnp.asarray(d["grad_sig"]),
             jnp.asarray(valid), jnp.asarray(tr), jnp.asarray(rot), self.p,
             self.op)
 
@@ -209,7 +238,6 @@ class GPisMap2D:
         if b:
             if rt["total"] > b:
                 self.stats["retrain_truncated"] = rt["total"] - b
-            d = self.index.dump_nodes()
             chunk = self.cap.retrain_batch
             for s in range(0, b, chunk):
                 e = min(s + chunk, b)
@@ -220,14 +248,16 @@ class GPisMap2D:
                 slots[:bb] = rt["slots"][s:e]
                 vmask = sup >= 0
                 vmask[bb:] = False
-                supc = np.clip(sup, 0, None)
+                nd = self.index.get_nodes(sup.reshape(-1))
+                shp = sup.shape
                 self.store = cluster.retrain_cells(
                     self.store, jnp.asarray(slots), jnp.asarray(slots >= 0),
-                    jnp.asarray(d["pos"][supc]), jnp.asarray(d["grad"][supc]),
-                    jnp.asarray(d["val"][supc]),
-                    jnp.asarray(d["pos_sig"][supc]),
-                    jnp.asarray(d["grad_sig"][supc]), jnp.asarray(vmask),
-                    self.p.map_scale_param)
+                    jnp.asarray(nd["pos"].reshape(shp + (self.dim,))),
+                    jnp.asarray(nd["grad"].reshape(shp + (self.dim,))),
+                    jnp.asarray(nd["val"].reshape(shp)),
+                    jnp.asarray(nd["pos_sig"].reshape(shp)),
+                    jnp.asarray(nd["grad_sig"].reshape(shp)),
+                    jnp.asarray(vmask), self.p.map_scale_param)
         self.index.clear_active()
         self._rebuild_grid()
 

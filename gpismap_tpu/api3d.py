@@ -166,16 +166,16 @@ class GPisMap3D:
     def _reeval_apply(self, obs, node_ids, tr, rot):
         if len(node_ids) == 0:
             return
-        d = self.index.dump_nodes()
         k = _next_pow2(len(node_ids))
-        sel = np.zeros(k, np.int32)
+        sel = np.full(k, -1, np.int32)
         sel[:len(node_ids)] = node_ids
+        d = self.index.get_nodes(sel)
         valid = np.zeros(k, bool)
         valid[:len(node_ids)] = True
 
         rv = mapper3d.reeval_3d(
-            obs, jnp.asarray(d["pos"][sel]), jnp.asarray(d["grad"][sel]),
-            jnp.asarray(d["pos_sig"][sel]), jnp.asarray(d["grad_sig"][sel]),
+            obs, jnp.asarray(d["pos"]), jnp.asarray(d["grad"]),
+            jnp.asarray(d["pos_sig"]), jnp.asarray(d["grad_sig"]),
             jnp.asarray(valid), jnp.asarray(tr), jnp.asarray(rot), self.p,
             self.op, compat=self.compat_reloc)
 
@@ -195,7 +195,6 @@ class GPisMap3D:
         if b:
             if rt["total"] > b:
                 self.stats["retrain_truncated"] = rt["total"] - b
-            d = self.index.dump_nodes()
             chunk = self.cap.retrain_batch
             for s in range(0, b, chunk):
                 e = min(s + chunk, b)
@@ -206,14 +205,16 @@ class GPisMap3D:
                 slots[:bb] = rt["slots"][s:e]
                 vmask = sup >= 0
                 vmask[bb:] = False
-                supc = np.clip(sup, 0, None)
+                nd = self.index.get_nodes(sup.reshape(-1))
+                shp = sup.shape
                 self.store = cluster.retrain_cells(
                     self.store, jnp.asarray(slots), jnp.asarray(slots >= 0),
-                    jnp.asarray(d["pos"][supc]), jnp.asarray(d["grad"][supc]),
-                    jnp.asarray(d["val"][supc]),
-                    jnp.asarray(d["pos_sig"][supc]),
-                    jnp.asarray(d["grad_sig"][supc]), jnp.asarray(vmask),
-                    self.p.map_scale_param)
+                    jnp.asarray(nd["pos"].reshape(shp + (self.dim,))),
+                    jnp.asarray(nd["grad"].reshape(shp + (self.dim,))),
+                    jnp.asarray(nd["val"].reshape(shp)),
+                    jnp.asarray(nd["pos_sig"].reshape(shp)),
+                    jnp.asarray(nd["grad_sig"].reshape(shp)),
+                    jnp.asarray(vmask), self.p.map_scale_param)
         self.index.clear_active()
         self._rebuild_grid()
 

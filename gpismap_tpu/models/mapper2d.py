@@ -273,3 +273,22 @@ def frame_compute_2d(theta: jnp.ndarray, rng: jnp.ndarray, tr: jnp.ndarray,
     obs = obsgp.fit_obsgp1d(prep.theta, prep.f, prep.valid, op, g_max=g_max)
     nm = newmeas_2d(obs, prep, rot, mp, op, chunk)
     return prep, obs, nm
+
+
+@functools.partial(jax.jit, static_argnames=("mp", "op", "g_max", "chunk"))
+def frame_update_2d(theta: jnp.ndarray, rng: jnp.ndarray, tr: jnp.ndarray,
+                    rot: jnp.ndarray, node_pos: jnp.ndarray,
+                    node_grad: jnp.ndarray, node_ps: jnp.ndarray,
+                    node_gs: jnp.ndarray, node_valid: jnp.ndarray,
+                    mp: MapperParam, op: ObsGPParam, g_max: int,
+                    chunk: int = 1024):
+    """The ENTIRE per-frame device compute in one dispatch: preprocess,
+    obs-GP fit, batched re-evaluation of the host-gathered in-view nodes,
+    and new-measurement evaluation. Used by the non-strict 2D path to get
+    the update loop down to two device calls per frame (this + retrain)."""
+    prep = preprocess_2d(theta, rng, tr, rot, mp)
+    obs = obsgp.fit_obsgp1d(prep.theta, prep.f, prep.valid, op, g_max=g_max)
+    rv = reeval_2d(obs, node_pos, node_grad, node_ps, node_gs, node_valid,
+                   tr, rot, mp, op, chunk)
+    nm = newmeas_2d(obs, prep, rot, mp, op, chunk)
+    return rv, nm

@@ -60,7 +60,8 @@ def plan_tiles(seg: jnp.ndarray, n_segments: int, tile: int) -> TilePlan:
     return TilePlan(pair_ids=pair_ids, tile_seg=seg_of_tile, n_tiles=n_tiles)
 
 
-def segmented_eval(plan: TilePlan, eval_tile, out_init, tile_chunk: int = 8):
+def segmented_eval(plan: TilePlan, eval_tile, out_init,
+                   tile_chunk: int = 32):
     """Run eval_tile over tiles, scattering tile results into out arrays.
 
     eval_tile(seg_ids [G], pair_ids [G, T]) -> pytree of [G, T, ...] results

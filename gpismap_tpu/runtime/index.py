@@ -62,6 +62,9 @@ def _load() -> ct.CDLL:
         lib.gpis_index_node_capacity.argtypes = [ct.c_void_p]
         lib.gpis_index_dump_nodes.argtypes = [
             ct.c_void_p, _F32P, _F32P, _F32P, _F32P, _F32P, _U8P]
+        lib.gpis_index_get_nodes.argtypes = [
+            ct.c_void_p, _I32P, ct.c_int, _F32P, _F32P, _F32P, _F32P,
+            _F32P, _U8P]
         lib.gpis_index_query_range.restype = ct.c_int
         lib.gpis_index_query_range.argtypes = [ct.c_void_p, _F32P, ct.c_float,
                                                _I32P, ct.c_int]
@@ -181,6 +184,22 @@ class SpatialIndex:
         if self.node_capacity:
             self._lib.gpis_index_dump_nodes(self._h, pos, grad, val, ps, gs,
                                             alive)
+        return dict(pos=pos, grad=grad, val=val, pos_sig=ps, grad_sig=gs,
+                    alive=alive.astype(bool))
+
+    def get_nodes(self, ids: np.ndarray):
+        """Gather node rows for an id list (padded/invalid ids -> zeros)."""
+        ids = np.ascontiguousarray(ids, np.int32)
+        n = ids.shape[0]
+        pos = np.zeros((n, self.dim), np.float32)
+        grad = np.zeros((n, self.dim), np.float32)
+        val = np.zeros(n, np.float32)
+        ps = np.zeros(n, np.float32)
+        gs = np.zeros(n, np.float32)
+        alive = np.zeros(n, np.uint8)
+        if n:
+            self._lib.gpis_index_get_nodes(self._h, ids, n, pos, grad, val,
+                                           ps, gs, alive)
         return dict(pos=pos, grad=grad, val=val, pos_sig=ps, grad_sig=gs,
                     alive=alive.astype(bool))
 
