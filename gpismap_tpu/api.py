@@ -14,6 +14,7 @@ from __future__ import annotations
 import math
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -131,6 +132,7 @@ class GPisMap2D:
                 jnp.asarray(d["grad"]), jnp.asarray(d["pos_sig"]),
                 jnp.asarray(d["grad_sig"]), jnp.asarray(nvalid), self.p,
                 self.op, g_max=g_max)
+            rv, nm = jax.device_get((rv, nm))   # ONE host pull
             n = len(node_ids)
             if n:
                 self.index.apply_reeval(
@@ -141,6 +143,7 @@ class GPisMap2D:
                     np.asarray(rv.dbl_grad_sig)[:n], -self.p.fbias)
 
         # Step 3 apply: insert new measurements
+        nm = jax.device_get(nm)
         ok = np.asarray(nm.insert_ok)
         n_new = 0
         if ok.any():
@@ -222,6 +225,7 @@ class GPisMap2D:
             jnp.asarray(valid), jnp.asarray(tr), jnp.asarray(rot), self.p,
             self.op)
 
+        rv = jax.device_get(rv)             # ONE host pull
         n = len(node_ids)
         self.index.apply_reeval(
             node_ids, np.asarray(rv.action)[:n], np.asarray(rv.pos)[:n],

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -107,6 +108,7 @@ class GPisMap3D:
 
         self._update_map_points(obs, prep, tr, rot)
 
+        nm = jax.device_get(nm)
         ok = np.asarray(nm.insert_ok)
         if ok.any():
             cand = np.asarray(nm.pos)[ok]
@@ -179,6 +181,7 @@ class GPisMap3D:
             jnp.asarray(valid), jnp.asarray(tr), jnp.asarray(rot), self.p,
             self.op, compat=self.compat_reloc)
 
+        rv = jax.device_get(rv)             # ONE host pull
         n = len(node_ids)
         self.index.apply_reeval(
             node_ids, np.asarray(rv.action)[:n], np.asarray(rv.pos)[:n],

@@ -173,8 +173,9 @@ class CapacityParam:
     """
 
     # Max support nodes per cluster-GP (overflow: nearest-to-center kept).
-    # Measured on the bundled data: 2D <= ~120, 3D median 125 / max 270.
-    gp_support: int = 160
+    # Measured on the bundled data: 2D max 73 (full sequence), 3D median
+    # 125 / max 270. 128 and 320 make M' = M*(1+D) lane-aligned (384/1280).
+    gp_support: int = 128
     # Cluster cells retrained per device batch (memory chunking).
     retrain_batch: int = 64
     # Max live cluster cells with trained GPs.

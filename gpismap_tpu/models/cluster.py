@@ -216,12 +216,14 @@ def _grid_candidates(grid: jnp.ndarray, q: jnp.ndarray, cell_size: float,
     jax.jit,
     static_argnames=("cell_size", "grid_half", "noff", "search_half",
                      "scale", "val_const", "grad_const", "var_thre",
-                     "default_var", "tile", "max_cells", "max_active"))
+                     "default_var", "tile", "max_cells", "max_active",
+                     "use_pallas"))
 def map_test(store: ClusterStore, grid: jnp.ndarray, q: jnp.ndarray,
              cell_size: float, grid_half: int, noff: int,
              search_half: float, scale: float, val_const: float,
              grad_const: float, var_thre: float, default_var: float,
-             tile: int, max_cells: int, max_active: int = 512):
+             tile: int, max_cells: int, max_active: int = 512,
+             use_pallas: bool = False):
     """Batched SDF+gradient+variance query.
 
     Parity: GPisMap.cpp:665-763 (2D; var_thre 0.4) and
@@ -265,16 +267,49 @@ def map_test(store: ClusterStore, grid: jnp.ndarray, q: jnp.ndarray,
 
     plan = segmented.plan_tiles(pair_comp, max_active, tile)
 
-    def eval_tile(segs, pids):
-        qt = pair_q[jnp.clip(pids, 0)]                        # [G, T, D]
-        return _ongpis_eval_tile(store, linv_buf, slot_of, segs, qt, scale,
-                                 val_const, grad_const)
+    if use_pallas:
+        from ..ops.gp import ongpis_prepare
+        from ..ops.pallas_tile import tile_eval_pallas
 
-    out0 = (jnp.zeros((3 * nq,), q.dtype),
-            jnp.zeros((3 * nq, d), q.dtype),
-            jnp.full((3 * nq,), jnp.inf, q.dtype),
-            jnp.zeros((3 * nq, d), q.dtype))
-    f_p, g_p, vf_p, vg_p = segmented.segmented_eval(plan, eval_tile, out0)
+        slc = jnp.clip(slot_of, 0, store.x.shape[0] - 1)
+        cvalid = store.valid[slc] & (slot_of >= 0)[:, None]
+        gf_c, _ = ongpis_prepare(store.grad[slc], store.sigx[slc],
+                                 store.siggrad[slc], cvalid)
+        xt = jnp.swapaxes(store.x[slc], -1, -2)           # [S, D, M]
+        qt = jnp.swapaxes(pair_q[jnp.clip(plan.pair_ids, 0)], -1, -2)
+        segc = jnp.clip(plan.tile_seg, 0, max_active - 1)
+        f_t, g_t, vf_t, vg_t = tile_eval_pallas(
+            segc, linv_buf, xt, store.alpha[slc],
+            gf_c.astype(q.dtype), cvalid.astype(q.dtype), qt, d=d,
+            scale=scale, val_const=val_const, grad_const=grad_const)
+        # scatter tile results back to pair order (dummy-row drop)
+        mask = (plan.pair_ids >= 0) & (plan.tile_seg[:, None] >= 0)
+        tgt = jnp.where(mask, plan.pair_ids, 3 * nq).reshape(-1)
+
+        def scat(init, val):
+            ext = jnp.concatenate(
+                [init, jnp.zeros((1,) + init.shape[1:], init.dtype)])
+            flat = val.reshape((-1,) + val.shape[2:])
+            return ext.at[tgt].set(flat, mode='drop')[:-1]
+
+        f_p = scat(jnp.zeros((3 * nq,), q.dtype), f_t)
+        vf_p = scat(jnp.full((3 * nq,), jnp.inf, q.dtype), vf_t)
+        g_p = scat(jnp.zeros((3 * nq, d), q.dtype),
+                   jnp.swapaxes(g_t, -1, -2))
+        vg_p = scat(jnp.zeros((3 * nq, d), q.dtype),
+                    jnp.swapaxes(vg_t, -1, -2))
+    else:
+        def eval_tile(segs, pids):
+            qt = pair_q[jnp.clip(pids, 0)]                    # [G, T, D]
+            return _ongpis_eval_tile(store, linv_buf, slot_of, segs, qt,
+                                     scale, val_const, grad_const)
+
+        out0 = (jnp.zeros((3 * nq,), q.dtype),
+                jnp.zeros((3 * nq, d), q.dtype),
+                jnp.full((3 * nq,), jnp.inf, q.dtype),
+                jnp.zeros((3 * nq, d), q.dtype))
+        f_p, g_p, vf_p, vg_p = segmented.segmented_eval(plan, eval_tile,
+                                                        out0)
     f3 = f_p.reshape(nq, 3)
     g3 = g_p.reshape(nq, 3, d)
     vf3 = jnp.where(top_ok, vf_p.reshape(nq, 3), jnp.inf)

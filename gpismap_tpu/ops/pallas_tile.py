@@ -1,0 +1,141 @@
+"""Pallas TPU kernel for the segmented cluster-GP tile evaluation.
+
+The map query's hot loop evaluates tiles of T query points against their
+cluster's GP: build the Matern-3/2 cross-covariance K* [M', T*(1+D)],
+mean = alpha^T K*, variance cols = const - ||L^-1 K*||^2. The XLA scan
+version pays ~1 ms of per-step overhead; this kernel runs ONE grid step
+per tile with the cell's L^-1 block selected by scalar-prefetch indexing
+(Pallas double-buffers the HBM->VMEM DMA pipeline automatically), keeping
+the big matmul on the MXU.
+
+Block-shape constraints (last two dims divisible by (8, 128) or equal to
+the array dims) dictate the layouts:
+  linv  [S, MP, MP]        block (1, MP, MP)
+  xt    [S, D, M]          block (1, D, M)   (axis-major positions)
+  alpha [S, MP, 1]         block (1, MP, 1)  (column vector)
+  gf/vl [S, M, 1]          block (1, M, 1)   (column masks)
+  qt    [NT, D, T]         block (1, D, T)
+  f/vf  [NT, 1, T]         block (1, 1, T)
+  g/vg  [NT, D, T]         block (1, D, T)
+
+Numerical parity: identical formulas to ops/kernels.py and
+models/cluster._ongpis_eval_tile (validated to ~1e-6).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_SQRT3 = 1.7320508075688772
+
+
+def _make_kernel(d, scale, val_const, grad_const):
+    a = _SQRT3 / scale
+
+    def kernel(seg_ref, linv_ref, xt_ref, alpha_ref, gf_ref, vl_ref,
+               qt_ref, f_ref, g_ref, vf_ref, vg_ref):
+        t = qt_ref.shape[-1]
+
+        diffs = [xt_ref[0, i, :][:, None] - qt_ref[0, i, :][None, :]
+                 for i in range(d)]                       # d x [M, T]
+        r2 = diffs[0] * diffs[0]
+        for i in range(1, d):
+            r2 = r2 + diffs[i] * diffs[i]
+        r = jnp.sqrt(r2)
+        e = jnp.exp(-a * r)
+        kf = (1.0 + a * r) * e
+        inv_r = jnp.where(r > 0, 1.0 / jnp.where(r > 0, r, 1.0), 0.0)
+        kf1 = [(a * a) * diffs[i] * e for i in range(d)]
+
+        valid = vl_ref[0, :, :]                           # [M, 1]
+        gmask = gf_ref[0, :, :] * valid                   # [M, 1]
+
+        rows = [jnp.concatenate([kf] + kf1, axis=1) * valid]
+        for i in range(d):
+            grow = [-kf1[i]]
+            for j in range(d):
+                delta = 1.0 if i == j else 0.0
+                grow.append((a * a)
+                            * (delta - a * diffs[i] * diffs[j] * inv_r) * e)
+            rows.append(jnp.concatenate(grow, axis=1) * gmask)
+        ks = jnp.concatenate(rows, axis=0)                # [MP, T*(1+d)]
+
+        alpha = alpha_ref[0, :, :]                        # [MP, 1]
+        res = jnp.sum(ks * alpha, axis=0)                 # [T*(1+d)]
+        v = jnp.dot(linv_ref[0], ks,
+                    preferred_element_type=jnp.float32)
+        vs = jnp.sum(v * v, axis=0)
+
+        f_ref[0, 0, :] = res[:t]
+        vf_ref[0, 0, :] = val_const - vs[:t]
+        for i in range(d):
+            g_ref[0, i, :] = res[(1 + i) * t:(2 + i) * t]
+            vg_ref[0, i, :] = grad_const - vs[(1 + i) * t:(2 + i) * t]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("d", "scale", "val_const", "grad_const", "interpret"))
+def tile_eval_pallas(tile_seg: jnp.ndarray, linv_buf: jnp.ndarray,
+                     xt_cells: jnp.ndarray, alpha_cells: jnp.ndarray,
+                     gradflag_cells: jnp.ndarray, valid_cells: jnp.ndarray,
+                     qt_tiles: jnp.ndarray, d: int, scale: float,
+                     val_const: float, grad_const: float,
+                     interpret: bool = False):
+    """Evaluate all tiles; per-tile cell blocks selected by scalar-prefetch.
+
+    tile_seg:   [NT] int32 compact cell index per tile (>= 0, clipped)
+    linv_buf:   [S, MP, MP]
+    xt_cells:   [S, D, M] axis-major support positions
+    alpha_cells:[S, MP] (reshaped internally to [S, MP, 1])
+    gradflag_cells/valid_cells: [S, M] float32 0/1 (reshaped to [S, M, 1])
+    qt_tiles:   [NT, D, T] axis-major tile queries
+
+    Returns (f [NT, T], g_t [NT, D, T], vf [NT, T], vg_t [NT, D, T]).
+    """
+    nt = qt_tiles.shape[0]
+    t = qt_tiles.shape[-1]
+    s, mp, _ = linv_buf.shape
+    m = xt_cells.shape[-1]
+
+    alpha3 = alpha_cells[..., None]
+    gf3 = gradflag_cells[..., None]
+    vl3 = valid_cells[..., None]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nt,),
+        in_specs=[
+            pl.BlockSpec((1, mp, mp), lambda i, seg: (seg[i], 0, 0)),
+            pl.BlockSpec((1, d, m), lambda i, seg: (seg[i], 0, 0)),
+            pl.BlockSpec((1, mp, 1), lambda i, seg: (seg[i], 0, 0)),
+            pl.BlockSpec((1, m, 1), lambda i, seg: (seg[i], 0, 0)),
+            pl.BlockSpec((1, m, 1), lambda i, seg: (seg[i], 0, 0)),
+            pl.BlockSpec((1, d, t), lambda i, seg: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, t), lambda i, seg: (i, 0, 0)),
+            pl.BlockSpec((1, d, t), lambda i, seg: (i, 0, 0)),
+            pl.BlockSpec((1, 1, t), lambda i, seg: (i, 0, 0)),
+            pl.BlockSpec((1, d, t), lambda i, seg: (i, 0, 0)),
+        ],
+    )
+
+    f, g, vf, vg = pl.pallas_call(
+        _make_kernel(d, scale, val_const, grad_const),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((nt, 1, t), jnp.float32),
+            jax.ShapeDtypeStruct((nt, d, t), jnp.float32),
+            jax.ShapeDtypeStruct((nt, 1, t), jnp.float32),
+            jax.ShapeDtypeStruct((nt, d, t), jnp.float32),
+        ],
+        interpret=interpret,
+    )(tile_seg, linv_buf, xt_cells, alpha3, gf3, vl3, qt_tiles)
+    return f[:, 0, :], g, vf[:, 0, :], vg
