@@ -100,7 +100,7 @@ def clear_slots(store: ClusterStore, slots: jnp.ndarray,
 
 
 def _factorize_cells(store: ClusterStore, slots: jnp.ndarray, scale: float,
-                     chunk: int = 16) -> jnp.ndarray:
+                     chunk: int = 128) -> jnp.ndarray:
     """L^-1 for the given slots, chunked: [S, M', M'].
 
     Each active cell is factorized exactly ONCE per test call (the

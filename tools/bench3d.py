@@ -1,0 +1,102 @@
+#!/usr/bin/env python3
+"""3D benchmark + parity: full bigbird sequence on the current backend.
+
+Prints one JSON line like bench.py (3D metric), plus parity stats vs the
+full-sequence golden if present.
+
+Usage: python tools/bench3d.py [--frames N] [--cpu] [--sub K]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+sys.path.insert(0, REPO)
+
+REF_QPS_3D = 1838.0     # BASELINE.md floor
+REF_UPD_S = 1.565
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=None)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--sub", type=int, default=1)
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/gpismap_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from gpismap_tpu import datasets
+    from gpismap_tpu.api3d import GPisMap3D
+
+    m = GPisMap3D()
+    frames = list(datasets.bigbird_frames())
+    if args.frames:
+        frames = frames[:args.frames]
+    t_upd = []
+    for i, fr in enumerate(frames):
+        t0 = time.time()
+        m.set_camera(fr.cam_id, "bigbird")
+        m.update(fr.depth, fr.pose)
+        t_upd.append(time.time() - t0)
+        print(f"# frame {i} ({fr.frame}/cam{fr.cam_id}): "
+              f"{t_upd[-1]:.2f}s nodes={m.num_nodes}", file=sys.stderr,
+              flush=True)
+
+    xtest, _ = datasets.bigbird_test_grid()
+    xq = xtest[::args.sub]
+    m.test(xq)
+    reps = 3
+    t0 = time.time()
+    for _ in range(reps):
+        res = m.test(xq)
+    dt = (time.time() - t0) / reps
+    qps = len(xq) / dt
+
+    upd = np.asarray(t_upd[4:]) if len(t_upd) > 8 else np.asarray(t_upd)
+    out = {
+        "metric": "3d_sdf_grad_queries_per_s_per_chip",
+        "value": round(qps, 1),
+        "unit": "queries/s",
+        "vs_baseline": round(qps / REF_QPS_3D, 3),
+        "extra": {
+            "update_s_per_frame": round(float(np.mean(upd)), 3),
+            "ref_update_s_per_frame": REF_UPD_S,
+            "update_speedup": round(REF_UPD_S / float(np.mean(upd)), 2),
+            "n_frames": len(frames),
+            "n_nodes": int(m.num_nodes),
+            "n_test_points": int(len(xq)),
+            "test_s": round(dt, 4),
+        },
+    }
+
+    gpath = os.path.join(REPO, "tests", "goldens",
+                         f"golden_3d_f{len(frames)}.npz"
+                         if args.frames else "golden_3d.npz")
+    if os.path.exists(gpath):
+        g = np.load(gpath)
+        ref = g["res"][::args.sub]
+        mapped_ref = ref[:, 4] < 1.0
+        mapped = res[:, 4] < 1.0
+        both = mapped_ref & mapped
+        df = np.abs(res[both, 0] - ref[both, 0])
+        out["parity"] = {
+            "mapped_agreement": round(float((mapped_ref == mapped).mean()),
+                                      4),
+            "f_med_abs_err": round(float(np.median(df)), 5),
+            "f_p95_abs_err": round(float(np.percentile(df, 95)), 5),
+        }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
