@@ -61,6 +61,7 @@ class GPisMap3D:
                          / self.cell_size)
         self.frame = 0
         self.stats: dict = {}
+        self._factors = None   # cached per-cell Cholesky factors
 
     # ------------------------------------------------------------------
     def set_camera(self, cam_id_or_param, family: str = "bigbird"):
@@ -79,6 +80,7 @@ class GPisMap3D:
                                        np.zeros(0, np.int32), 3,
                                        self.grid_half)
         self.frame = 0
+        self._factors = None
 
     # ------------------------------------------------------------------
     def _obs_limits(self):
@@ -220,6 +222,7 @@ class GPisMap3D:
                     jnp.asarray(vmask), self.p.map_scale_param)
         self.index.clear_active()
         self._rebuild_grid()
+        self._factors = None
 
     def _rebuild_grid(self):
         cells = self.index.all_cluster_cells(cap=self.cap.max_cells * 4)
@@ -235,6 +238,27 @@ class GPisMap3D:
                                        self.grid_half)
 
     # ------------------------------------------------------------------
+    def _get_factors(self):
+        """Bounded cache of per-cell Cholesky factors (the reference keeps
+        L per cell, OnGPIS.h; recomputed only after retraining). Falls back
+        to per-call factorization when the live-cell count exceeds the
+        cache bound."""
+        if self._factors is not None:
+            return self._factors
+        cells = self.index.all_cluster_cells(cap=self.cap.max_cells * 4)
+        if len(cells) == 0:
+            return None
+        _, _, slots = self.index.cell_info(cells)
+        live = slots[slots >= 0]
+        if len(live) > self.cap.test_active_cells:
+            return None
+        pad = np.full(self.cap.test_active_cells, -1, np.int32)
+        pad[:len(live)] = np.sort(live)
+        self._factors = cluster.factorize_slots(
+            self.store, jnp.asarray(pad), self.p.map_scale_param,
+            self.cap.test_active_cells)
+        return self._factors
+
     def test(self, x: np.ndarray) -> np.ndarray:
         """Batched SDF query (GPisMap3::test, GPisMap3.cpp:904-949).
 
@@ -248,6 +272,8 @@ class GPisMap3D:
         xq[:nq] = x
         f, g, vf, vg = cluster.map_test(
             self.store, self.grid, jnp.asarray(xq),
+            factors=self._get_factors(),
+            use_pallas=(jax.default_backend() == "tpu"),
             cell_size=self.cell_size, grid_half=self.grid_half,
             noff=self._noff, search_half=self._search_half,
             scale=self.p.map_scale_param, val_const=1.001,

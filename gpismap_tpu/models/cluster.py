@@ -212,6 +212,24 @@ def _grid_candidates(grid: jnp.ndarray, q: jnp.ndarray, cell_size: float,
     return slots, sqd, ok
 
 
+@functools.partial(jax.jit, static_argnames=("scale", "max_active"))
+def factorize_slots(store: ClusterStore, slots: jnp.ndarray, scale: float,
+                    max_active: int):
+    """Public factor precomputation for a slot set (padded with -1).
+
+    The reference keeps each cell's Cholesky factor alive between updates
+    (OnGPIS.h `L`); this is the equivalent bounded cache fill. Returns
+    (linv_buf [S, M', M'], slot_of [S] sorted ascending with int32-max
+    sentinels for padding).
+    """
+    big = jnp.iinfo(jnp.int32).max
+    sl = jnp.where(slots >= 0, slots, big).astype(jnp.int32)
+    sl = jnp.sort(sl)[:max_active]
+    slot_of = jnp.where(sl < big, sl, -1)
+    return _factorize_cells(store, slot_of, scale), jnp.where(
+        slot_of >= 0, slot_of, big)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cell_size", "grid_half", "noff", "search_half",
@@ -223,7 +241,7 @@ def map_test(store: ClusterStore, grid: jnp.ndarray, q: jnp.ndarray,
              search_half: float, scale: float, val_const: float,
              grad_const: float, var_thre: float, default_var: float,
              tile: int, max_cells: int, max_active: int = 512,
-             use_pallas: bool = False):
+             use_pallas: bool = False, factors=None):
     """Batched SDF+gradient+variance query.
 
     Parity: GPisMap.cpp:665-763 (2D; var_thre 0.4) and
@@ -253,17 +271,22 @@ def map_test(store: ClusterStore, grid: jnp.ndarray, q: jnp.ndarray,
     pair_seg = jnp.where(top_ok, top_slot, -1).reshape(-1)    # [3Q]
     pair_q = jnp.repeat(q, 3, axis=0)
 
-    # compact the touched slots; factorize each exactly once
+    # compact the touched slots; factorize each exactly once — or reuse a
+    # prefactorized cache (factors = (linv_buf, uniq_sorted)) filled by
+    # factorize_slots, the analogue of the reference's per-cell stored L
     big = jnp.iinfo(jnp.int32).max
-    seg_for_uniq = jnp.where(pair_seg >= 0, pair_seg, big)
-    uniq = jnp.unique(seg_for_uniq, size=max_active, fill_value=big)
-    slot_of = jnp.where(uniq < big, uniq, -1).astype(jnp.int32)
+    if factors is None:
+        seg_for_uniq = jnp.where(pair_seg >= 0, pair_seg, big)
+        uniq = jnp.unique(seg_for_uniq, size=max_active, fill_value=big)
+        slot_of = jnp.where(uniq < big, uniq, -1).astype(jnp.int32)
+        linv_buf = _factorize_cells(store, slot_of, scale)
+    else:
+        linv_buf, uniq = factors
+        slot_of = jnp.where(uniq < big, uniq, -1).astype(jnp.int32)
     comp = jnp.searchsorted(uniq, pair_seg)
     comp = jnp.clip(comp, 0, max_active - 1)
     hit = (pair_seg >= 0) & (uniq[comp] == pair_seg)
     pair_comp = jnp.where(hit, comp, -1).astype(jnp.int32)
-
-    linv_buf = _factorize_cells(store, slot_of, scale)
 
     plan = segmented.plan_tiles(pair_comp, max_active, tile)
 

@@ -65,23 +65,26 @@ def config_from_mapper(m, **overrides) -> RenderConfig:
 
 
 def sdf_eval(store: cluster.ClusterStore, grid: jnp.ndarray, x: jnp.ndarray,
-             cfg: RenderConfig):
+             cfg: RenderConfig, factors=None):
     """(sdf, grad, var) at x [N, D]; sdf = posterior mean + fbias so the
     surface sits at sdf == 0 (the demo's +bias convention,
-    visualize_gpisMap.m:26)."""
+    visualize_gpisMap.m:26). Pass prefactorized cell factors (from
+    cluster.factorize_slots) to avoid refactorizing per call — essential
+    inside the marching loop."""
     f, g, vf, _ = cluster.map_test(
         store, grid, x, cell_size=cfg.cell_size, grid_half=cfg.grid_half,
         noff=cfg.noff, search_half=cfg.search_half, scale=cfg.scale,
         val_const=cfg.val_const, grad_const=cfg.grad_const,
         var_thre=cfg.var_thre, default_var=cfg.default_var, tile=cfg.tile,
-        max_cells=cfg.max_cells, max_active=cfg.max_active)
+        max_cells=cfg.max_cells, max_active=cfg.max_active,
+        factors=factors)
     return f + cfg.fbias, g, vf
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def sphere_trace(store: cluster.ClusterStore, grid: jnp.ndarray,
                  origins: jnp.ndarray, dirs: jnp.ndarray,
-                 cfg: RenderConfig):
+                 cfg: RenderConfig, factors=None):
     """March rays against the SDF; differentiable depth via implicit
     correction.
 
@@ -95,7 +98,7 @@ def sphere_trace(store: cluster.ClusterStore, grid: jnp.ndarray,
         def body(carry, _):
             t, done, steps = carry
             x = o + t[:, None] * d
-            f, _, vf = sdf_eval(store, grid, x, cfg)
+            f, _, vf = sdf_eval(store, grid, x, cfg, factors)
             hit = jnp.abs(f) < cfg.eps
             adv = jnp.where(done | hit, 0.0, cfg.step_scale * f)
             # unmapped space returns f = fbias -> fixed forward steps
@@ -116,7 +119,7 @@ def sphere_trace(store: cluster.ClusterStore, grid: jnp.ndarray,
 
     # implicit-function correction: carries d t*/d(inputs)
     x_hat = origins + t_hat[:, None] * dirs
-    f, g, vf = sdf_eval(store, grid, x_hat, cfg)
+    f, g, vf = sdf_eval(store, grid, x_hat, cfg, factors)
     denom = jnp.sum(g * dirs, axis=-1)
     denom = jnp.where(jnp.abs(denom) > 1e-3, denom,
                       jnp.where(denom < 0, -1e-3, 1e-3))
@@ -153,8 +156,10 @@ def render_depth(mapper, pose_tr, pose_rot, cam=None, subsample: int = 4,
     cam = cam or getattr(mapper, "cam", None)
     cfg = config_from_mapper(mapper, **cfg_overrides)
     o, d, shape = camera_rays(pose_tr, pose_rot, cam, subsample)
+    factors = mapper._get_factors() if hasattr(mapper, "_get_factors") \
+        else None
     out = sphere_trace(mapper.store, mapper.grid, jnp.asarray(o),
-                       jnp.asarray(d), cfg)
+                       jnp.asarray(d), cfg, factors)
     depth = np.asarray(out["t"]).reshape(shape)
     hit = np.asarray(out["hit"]).reshape(shape)
     normal = np.asarray(out["normal"]).reshape(shape + (3,))

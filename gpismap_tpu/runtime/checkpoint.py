@@ -46,4 +46,5 @@ def load(mapper, path: str) -> None:
                 f"{getattr(ref, k).shape} vs {v.shape}")
     mapper.store = cluster.ClusterStore(**fields)
     mapper.frame = int(d["frame"])
+    mapper._factors = None
     mapper._rebuild_grid()
