@@ -273,7 +273,10 @@ class GPisMap3D:
         f, g, vf, vg = cluster.map_test(
             self.store, self.grid, jnp.asarray(xq),
             factors=self._get_factors(),
-            use_pallas=(jax.default_backend() == "tpu"),
+            # 3D factor blocks (1280^2 = 6.5 MB) exceed VMEM with the
+            # current whole-block kernel; the XLA path is used until the
+            # kernel is panel-blocked
+            use_pallas=False,
             cell_size=self.cell_size, grid_half=self.grid_half,
             noff=self._noff, search_half=self._search_half,
             scale=self.p.map_scale_param, val_const=1.001,
