@@ -33,61 +33,75 @@ from jax.experimental.pallas import tpu as pltpu
 _SQRT3 = 1.7320508075688772
 
 
-def _make_kernel(d, scale, val_const, grad_const):
+def _make_kernel(d, scale, val_const, grad_const, n_panels):
     a = _SQRT3 / scale
 
     def kernel(seg_ref, linv_ref, xt_ref, alpha_ref, gf_ref, vl_ref,
-               qt_ref, f_ref, g_ref, vf_ref, vg_ref):
+               qt_ref, f_ref, g_ref, vf_ref, vg_ref, ks_ref):
+        # grid = (tiles, panels); the L^-1 row-panel is the only input
+        # blocked along the panel axis. ks is built once per tile (panel 0)
+        # into VMEM scratch and reused; variance accumulates across panels
+        # into the revisited output blocks.
         t = qt_ref.shape[-1]
+        p = pl.program_id(1)
 
-        diffs = [xt_ref[0, i, :][:, None] - qt_ref[0, i, :][None, :]
-                 for i in range(d)]                       # d x [M, T]
-        r2 = diffs[0] * diffs[0]
-        for i in range(1, d):
-            r2 = r2 + diffs[i] * diffs[i]
-        r = jnp.sqrt(r2)
-        e = jnp.exp(-a * r)
-        kf = (1.0 + a * r) * e
-        inv_r = jnp.where(r > 0, 1.0 / jnp.where(r > 0, r, 1.0), 0.0)
-        kf1 = [(a * a) * diffs[i] * e for i in range(d)]
+        @pl.when(p == 0)
+        def _build():
+            diffs = [xt_ref[0, i, :][:, None] - qt_ref[0, i, :][None, :]
+                     for i in range(d)]                   # d x [M, T]
+            r2 = diffs[0] * diffs[0]
+            for i in range(1, d):
+                r2 = r2 + diffs[i] * diffs[i]
+            r = jnp.sqrt(r2)
+            e = jnp.exp(-a * r)
+            kf = (1.0 + a * r) * e
+            inv_r = jnp.where(r > 0, 1.0 / jnp.where(r > 0, r, 1.0), 0.0)
+            kf1 = [(a * a) * diffs[i] * e for i in range(d)]
 
-        valid = vl_ref[0, :, :]                           # [M, 1]
-        gmask = gf_ref[0, :, :] * valid                   # [M, 1]
+            valid = vl_ref[0, :, :]                       # [M, 1]
+            gmask = gf_ref[0, :, :] * valid               # [M, 1]
 
-        rows = [jnp.concatenate([kf] + kf1, axis=1) * valid]
-        for i in range(d):
-            grow = [-kf1[i]]
-            for j in range(d):
-                delta = 1.0 if i == j else 0.0
-                grow.append((a * a)
-                            * (delta - a * diffs[i] * diffs[j] * inv_r) * e)
-            rows.append(jnp.concatenate(grow, axis=1) * gmask)
-        ks = jnp.concatenate(rows, axis=0)                # [MP, T*(1+d)]
+            rows = [jnp.concatenate([kf] + kf1, axis=1) * valid]
+            for i in range(d):
+                grow = [-kf1[i]]
+                for j in range(d):
+                    delta = 1.0 if i == j else 0.0
+                    grow.append(
+                        (a * a)
+                        * (delta - a * diffs[i] * diffs[j] * inv_r) * e)
+                rows.append(jnp.concatenate(grow, axis=1) * gmask)
+            ks = jnp.concatenate(rows, axis=0)            # [MP, T*(1+d)]
+            ks_ref[:] = ks
 
-        alpha = alpha_ref[0, :, :]                        # [MP, 1]
-        res = jnp.sum(ks * alpha, axis=0)                 # [T*(1+d)]
-        v = jnp.dot(linv_ref[0], ks,
-                    preferred_element_type=jnp.float32)
+            alpha = alpha_ref[0, :, :]                    # [MP, 1]
+            res = jnp.sum(ks * alpha, axis=0)             # [T*(1+d)]
+            f_ref[0, 0, :] = res[:t]
+            vf_ref[0, 0, :] = jnp.full((t,), val_const, jnp.float32)
+            for i in range(d):
+                g_ref[0, i, :] = res[(1 + i) * t:(2 + i) * t]
+                vg_ref[0, i, :] = jnp.full((t,), grad_const, jnp.float32)
+
+        v = jnp.dot(linv_ref[0], ks_ref[:],
+                    preferred_element_type=jnp.float32)   # [PANEL, T(1+d)]
         vs = jnp.sum(v * v, axis=0)
-
-        f_ref[0, 0, :] = res[:t]
-        vf_ref[0, 0, :] = val_const - vs[:t]
+        vf_ref[0, 0, :] = vf_ref[0, 0, :] - vs[:t]
         for i in range(d):
-            g_ref[0, i, :] = res[(1 + i) * t:(2 + i) * t]
-            vg_ref[0, i, :] = grad_const - vs[(1 + i) * t:(2 + i) * t]
+            vg_ref[0, i, :] = vg_ref[0, i, :] - vs[(1 + i) * t:(2 + i) * t]
 
     return kernel
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("d", "scale", "val_const", "grad_const", "interpret"))
+    static_argnames=("d", "scale", "val_const", "grad_const", "interpret",
+                     "panel_override"))
 def tile_eval_pallas(tile_seg: jnp.ndarray, linv_buf: jnp.ndarray,
                      xt_cells: jnp.ndarray, alpha_cells: jnp.ndarray,
                      gradflag_cells: jnp.ndarray, valid_cells: jnp.ndarray,
                      qt_tiles: jnp.ndarray, d: int, scale: float,
                      val_const: float, grad_const: float,
-                     interpret: bool = False):
+                     interpret: bool = False,
+                     panel_override: int | None = None):
     """Evaluate all tiles; per-tile cell blocks selected by scalar-prefetch.
 
     tile_seg:   [NT] int32 compact cell index per tile (>= 0, clipped)
@@ -104,31 +118,37 @@ def tile_eval_pallas(tile_seg: jnp.ndarray, linv_buf: jnp.ndarray,
     s, mp, _ = linv_buf.shape
     m = xt_cells.shape[-1]
 
+    # row-panel the factor so its block fits VMEM (3D: MP = 1280)
+    panel = panel_override or (mp if mp <= 512 else 256)
+    n_panels = mp // panel
+    assert panel * n_panels == mp
+
     alpha3 = alpha_cells[..., None]
     gf3 = gradflag_cells[..., None]
     vl3 = valid_cells[..., None]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(nt,),
+        grid=(nt, n_panels),
         in_specs=[
-            pl.BlockSpec((1, mp, mp), lambda i, seg: (seg[i], 0, 0)),
-            pl.BlockSpec((1, d, m), lambda i, seg: (seg[i], 0, 0)),
-            pl.BlockSpec((1, mp, 1), lambda i, seg: (seg[i], 0, 0)),
-            pl.BlockSpec((1, m, 1), lambda i, seg: (seg[i], 0, 0)),
-            pl.BlockSpec((1, m, 1), lambda i, seg: (seg[i], 0, 0)),
-            pl.BlockSpec((1, d, t), lambda i, seg: (i, 0, 0)),
+            pl.BlockSpec((1, panel, mp), lambda i, p, seg: (seg[i], p, 0)),
+            pl.BlockSpec((1, d, m), lambda i, p, seg: (seg[i], 0, 0)),
+            pl.BlockSpec((1, mp, 1), lambda i, p, seg: (seg[i], 0, 0)),
+            pl.BlockSpec((1, m, 1), lambda i, p, seg: (seg[i], 0, 0)),
+            pl.BlockSpec((1, m, 1), lambda i, p, seg: (seg[i], 0, 0)),
+            pl.BlockSpec((1, d, t), lambda i, p, seg: (i, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, t), lambda i, seg: (i, 0, 0)),
-            pl.BlockSpec((1, d, t), lambda i, seg: (i, 0, 0)),
-            pl.BlockSpec((1, 1, t), lambda i, seg: (i, 0, 0)),
-            pl.BlockSpec((1, d, t), lambda i, seg: (i, 0, 0)),
+            pl.BlockSpec((1, 1, t), lambda i, p, seg: (i, 0, 0)),
+            pl.BlockSpec((1, d, t), lambda i, p, seg: (i, 0, 0)),
+            pl.BlockSpec((1, 1, t), lambda i, p, seg: (i, 0, 0)),
+            pl.BlockSpec((1, d, t), lambda i, p, seg: (i, 0, 0)),
         ],
+        scratch_shapes=[pltpu.VMEM((mp, t * (1 + d)), jnp.float32)],
     )
 
     f, g, vf, vg = pl.pallas_call(
-        _make_kernel(d, scale, val_const, grad_const),
+        _make_kernel(d, scale, val_const, grad_const, n_panels),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((nt, 1, t), jnp.float32),

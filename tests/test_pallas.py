@@ -48,3 +48,13 @@ def test_pallas_tile_matches_xla():
         print(f"{name}: max err {err:.2e}")
         assert err < 1e-4, name
 
+    # multi-panel factor blocking (the 3D VMEM path)
+    f2, g2t, vf2, vg2t = tile_eval_pallas(
+        segs, linv, jnp.swapaxes(store.x, -1, -2), store.alpha,
+        gf.astype(jnp.float32), store.valid.astype(jnp.float32),
+        jnp.swapaxes(q, -1, -2), d=D, scale=1.2, val_const=1.01,
+        grad_const=3 / 1.44 + 0.1, interpret=True, panel_override=16)
+    assert float(jnp.max(jnp.abs(f2 - f0))) < 1e-4
+    assert float(jnp.max(jnp.abs(vf2 - vf0))) < 1e-4
+    assert float(jnp.max(jnp.abs(jnp.swapaxes(vg2t, -1, -2) - vg0))) < 1e-4
+
