@@ -6,6 +6,8 @@ of the GPisMap reference (online continuous SDF mapping from 2D LiDAR /
 
 __version__ = "0.1.0"
 
+from .api import GPisMap2D  # noqa: F401
+from .api3d import GPisMap3D  # noqa: F401
 from .config import (  # noqa: F401
     CAPACITY_2D,
     CAPACITY_3D,

@@ -11,16 +11,13 @@ GPisMap3D (models/mapper3d.py) adds setCamera/getAllPoints.
 """
 from __future__ import annotations
 
-import math
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .config import (CAPACITY_2D, MAPPER_2D, OBSGP_1D, TREE_2D,
                      CapacityParam, MapperParam, ObsGPParam, TreeParam)
-from .models import cluster, mapper2d, obsgp
+from .models import cluster, mapper2d
 from .runtime import SpatialIndex
 
 

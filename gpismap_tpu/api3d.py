@@ -16,7 +16,7 @@ from .api import _next_pow2
 from .config import (BIGBIRD_CAMS, CAPACITY_3D, MAPPER_3D, OBSGP_2D,
                      TREE_3D, YCB_CAMS, CameraParam, CapacityParam,
                      MapperParam, ObsGPParam, TreeParam)
-from .models import cluster, mapper3d, obsgp
+from .models import cluster, mapper3d
 from .runtime import SpatialIndex
 
 
