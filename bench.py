@@ -43,10 +43,16 @@ def main():
     # warm-up (compile) at the benchmark shape, then measure
     m.test(xtest)
     reps = 3
-    t0 = time.time()
-    for _ in range(reps):
-        res = m.test(xtest)
-    dt = (time.time() - t0) / reps
+    import contextlib
+    import os as _os
+    prof_dir = _os.environ.get("GPISMAP_PROFILE")
+    ctx = (jax.profiler.trace(prof_dir) if prof_dir
+           else contextlib.nullcontext())
+    with ctx:
+        t0 = time.time()
+        for _ in range(reps):
+            res = m.test(xtest)
+        dt = (time.time() - t0) / reps
     qps = len(xtest) / dt
 
     # steady-state update rate (skip the compile-heavy first frames)
