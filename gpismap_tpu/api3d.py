@@ -238,6 +238,17 @@ class GPisMap3D:
                                        self.grid_half)
 
     # ------------------------------------------------------------------
+    def _use_pallas(self) -> bool:
+        """Pallas tile kernel on TPU, with a sticky fallback to the XLA
+        path if the kernel ever fails to compile/run (and an env escape
+        hatch GPISMAP_NO_PALLAS=1)."""
+        import os as _os
+        if getattr(self, "_pallas_ok", None) is False:
+            return False
+        if _os.environ.get("GPISMAP_NO_PALLAS"):
+            return False
+        return jax.default_backend() == "tpu"
+
     def _get_factors(self):
         """Bounded cache of per-cell Cholesky factors (the reference keeps
         L per cell, OnGPIS.h; recomputed only after retraining). Falls back
@@ -270,21 +281,26 @@ class GPisMap3D:
         qp = _next_pow2(nq)
         xq = np.zeros((qp, 3), np.float32)
         xq[:nq] = x
-        f, g, vf, vg = cluster.map_test(
-            self.store, self.grid, jnp.asarray(xq),
-            factors=self._get_factors(),
-            # 3D factor blocks (1280^2 = 6.5 MB) exceed VMEM with the
-            # current whole-block kernel; the XLA path is used until the
-            # kernel is panel-blocked
-            use_pallas=False,
-            cell_size=self.cell_size, grid_half=self.grid_half,
-            noff=self._noff, search_half=self._search_half,
-            scale=self.p.map_scale_param, val_const=1.001,
-            grad_const=self.p.three_over_scale + 0.001,
-            var_thre=self.p.test_var_thre,
-            default_var=1.0 + self.p.map_noise_param,
-            tile=self.cap.test_tile, max_cells=self.cap.max_cells,
-            max_active=self.cap.test_active_cells)
+        def _run(up):
+            return cluster.map_test(
+                self.store, self.grid, jnp.asarray(xq),
+                factors=self._get_factors(), use_pallas=up,
+                cell_size=self.cell_size, grid_half=self.grid_half,
+                noff=self._noff, search_half=self._search_half,
+                scale=self.p.map_scale_param, val_const=1.001,
+                grad_const=self.p.three_over_scale + 0.001,
+                var_thre=self.p.test_var_thre,
+                default_var=1.0 + self.p.map_noise_param,
+                tile=self.cap.test_tile, max_cells=self.cap.max_cells,
+                max_active=self.cap.test_active_cells)
+
+        try:
+            f, g, vf, vg = _run(self._use_pallas())
+        except Exception:
+            if not self._use_pallas():
+                raise
+            self._pallas_ok = False      # sticky XLA fallback
+            f, g, vf, vg = _run(False)
         out = np.concatenate(
             [np.asarray(f)[:, None], np.asarray(g),
              np.asarray(vf)[:, None], np.asarray(vg)], axis=-1)
