@@ -321,7 +321,10 @@ class GPisMap2D:
         x = np.asarray(x, np.float32).reshape(-1, self.dim)
         nq = x.shape[0]
         qp = _next_pow2(nq)
-        xq = np.zeros((qp, self.dim), np.float32)
+        # pad with a far-away point: padded queries get zero candidate
+        # cells, so they open no evaluation tiles (origin-padding would
+        # evaluate real cluster GPs just to discard the rows)
+        xq = np.full((qp, self.dim), 1e6, np.float32)
         xq[:nq] = x
         def _run(up):
             return cluster.map_test(
@@ -343,9 +346,11 @@ class GPisMap2D:
                 raise
             self._pallas_ok = False      # sticky XLA fallback
             f, g, vf, vg = _run(False)
+        # ONE batched host pull (4 separate np.asarray calls would pay the
+        # tunnel round trip 4x)
+        f, g, vf, vg = jax.device_get((f, g, vf, vg))
         out = np.concatenate(
-            [np.asarray(f)[:, None], np.asarray(g),
-             np.asarray(vf)[:, None], np.asarray(vg)], axis=-1)
+            [f[:, None], g, vf[:, None], vg], axis=-1)
         return out[:nq]
 
     # ------------------------------------------------------------------

@@ -279,7 +279,8 @@ class GPisMap3D:
         x = np.asarray(x, np.float32).reshape(-1, 3)
         nq = x.shape[0]
         qp = _next_pow2(nq)
-        xq = np.zeros((qp, 3), np.float32)
+        # far-away padding: no candidate cells -> no evaluation tiles
+        xq = np.full((qp, 3), 1e6, np.float32)
         xq[:nq] = x
         def _run(up):
             return cluster.map_test(
@@ -301,9 +302,9 @@ class GPisMap3D:
                 raise
             self._pallas_ok = False      # sticky XLA fallback
             f, g, vf, vg = _run(False)
+        f, g, vf, vg = jax.device_get((f, g, vf, vg))   # ONE host pull
         out = np.concatenate(
-            [np.asarray(f)[:, None], np.asarray(g),
-             np.asarray(vf)[:, None], np.asarray(vg)], axis=-1)
+            [f[:, None], g, vf[:, None], vg], axis=-1)
         return out[:nq]
 
     def get_all_points(self) -> np.ndarray:

@@ -43,9 +43,14 @@ def _make_kernel(d, scale, val_const, grad_const, n_panels):
         # into VMEM scratch and reused; variance accumulates across panels
         # into the revisited output blocks.
         t = qt_ref.shape[-1]
+        i = pl.program_id(0)
         p = pl.program_id(1)
+        # inactive tiles (seg < 0: static padding past n_tiles) skip all
+        # compute; their output blocks hold garbage and are dropped by the
+        # caller's masked scatter
+        active = seg_ref[i] >= 0
 
-        @pl.when(p == 0)
+        @pl.when(active & (p == 0))
         def _build():
             diffs = [xt_ref[0, i, :][:, None] - qt_ref[0, i, :][None, :]
                      for i in range(d)]                   # d x [M, T]
@@ -81,12 +86,15 @@ def _make_kernel(d, scale, val_const, grad_const, n_panels):
                 g_ref[0, i, :] = res[(1 + i) * t:(2 + i) * t]
                 vg_ref[0, i, :] = jnp.full((t,), grad_const, jnp.float32)
 
-        v = jnp.dot(linv_ref[0], ks_ref[:],
-                    preferred_element_type=jnp.float32)   # [PANEL, T(1+d)]
-        vs = jnp.sum(v * v, axis=0)
-        vf_ref[0, 0, :] = vf_ref[0, 0, :] - vs[:t]
-        for i in range(d):
-            vg_ref[0, i, :] = vg_ref[0, i, :] - vs[(1 + i) * t:(2 + i) * t]
+        @pl.when(active)
+        def _variance():
+            v = jnp.dot(linv_ref[0], ks_ref[:],
+                        preferred_element_type=jnp.float32)  # [PANEL, T(1+d)]
+            vs = jnp.sum(v * v, axis=0)
+            vf_ref[0, 0, :] = vf_ref[0, 0, :] - vs[:t]
+            for j in range(d):
+                vg_ref[0, j, :] = (vg_ref[0, j, :]
+                                   - vs[(1 + j) * t:(2 + j) * t])
 
     return kernel
 
@@ -104,7 +112,8 @@ def tile_eval_pallas(tile_seg: jnp.ndarray, linv_buf: jnp.ndarray,
                      panel_override: int | None = None):
     """Evaluate all tiles; per-tile cell blocks selected by scalar-prefetch.
 
-    tile_seg:   [NT] int32 compact cell index per tile (>= 0, clipped)
+    tile_seg:   [NT] int32 compact cell index per tile; -1 = inactive tile
+                (skipped entirely — output block left as garbage)
     linv_buf:   [S, MP, MP]
     xt_cells:   [S, D, M] axis-major support positions
     alpha_cells:[S, MP] (reshaped internally to [S, MP, 1])
@@ -131,11 +140,17 @@ def tile_eval_pallas(tile_seg: jnp.ndarray, linv_buf: jnp.ndarray,
         num_scalar_prefetch=1,
         grid=(nt, n_panels),
         in_specs=[
-            pl.BlockSpec((1, panel, mp), lambda i, p, seg: (seg[i], p, 0)),
-            pl.BlockSpec((1, d, m), lambda i, p, seg: (seg[i], 0, 0)),
-            pl.BlockSpec((1, mp, 1), lambda i, p, seg: (seg[i], 0, 0)),
-            pl.BlockSpec((1, m, 1), lambda i, p, seg: (seg[i], 0, 0)),
-            pl.BlockSpec((1, m, 1), lambda i, p, seg: (seg[i], 0, 0)),
+            # inactive tiles (seg -1) read block 0 (cheap, never computed on)
+            pl.BlockSpec((1, panel, mp),
+                         lambda i, p, seg: (jnp.maximum(seg[i], 0), p, 0)),
+            pl.BlockSpec((1, d, m),
+                         lambda i, p, seg: (jnp.maximum(seg[i], 0), 0, 0)),
+            pl.BlockSpec((1, mp, 1),
+                         lambda i, p, seg: (jnp.maximum(seg[i], 0), 0, 0)),
+            pl.BlockSpec((1, m, 1),
+                         lambda i, p, seg: (jnp.maximum(seg[i], 0), 0, 0)),
+            pl.BlockSpec((1, m, 1),
+                         lambda i, p, seg: (jnp.maximum(seg[i], 0), 0, 0)),
             pl.BlockSpec((1, d, t), lambda i, p, seg: (i, 0, 0)),
         ],
         out_specs=[
