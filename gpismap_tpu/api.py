@@ -25,6 +25,25 @@ def _next_pow2(n: int, lo: int = 64) -> int:
     return max(lo, 1 << max(0, (n - 1)).bit_length())
 
 
+def _pallas_error_types() -> tuple:
+    """Exceptions a failing Pallas compile/run can raise.
+
+    Kept narrow on purpose: a TypeError/ValueError from our own argument
+    plumbing must propagate, not silently degrade to the XLA path.
+    JaxRuntimeError covers XlaRuntimeError (same class in this JAX);
+    Mosaic lowering failures raise MosaicError/VerificationError;
+    unsupported-op lowering raises NotImplementedError.
+    """
+    errs = [NotImplementedError, jax.errors.JaxRuntimeError]
+    try:
+        from jax._src.pallas.mosaic.error_handling import (MosaicError,
+                                                           VerificationError)
+        errs += [MosaicError, VerificationError]
+    except ImportError:        # pallas internals moved; runtime cover holds
+        pass
+    return tuple(errs)
+
+
 class GPisMap2D:
     """Online continuous 2D SDF mapper from LiDAR scans.
 
@@ -340,15 +359,20 @@ class GPisMap2D:
                 max_active=self.cap.test_active_cells)
 
         try:
-            f, g, vf, vg = _run(self._use_pallas())
-        except Exception:
+            f, g, vf, vg, nd = _run(self._use_pallas())
+        except _pallas_error_types() as e:
             if not self._use_pallas():
                 raise
             self._pallas_ok = False      # sticky XLA fallback
-            f, g, vf, vg = _run(False)
-        # ONE batched host pull (4 separate np.asarray calls would pay the
-        # tunnel round trip 4x)
-        f, g, vf, vg = jax.device_get((f, g, vf, vg))
+            self.stats["pallas_error"] = repr(e)
+            f, g, vf, vg, nd = _run(False)
+        # ONE batched host pull (separate np.asarray calls would pay the
+        # tunnel round trip each)
+        f, g, vf, vg, nd = jax.device_get((f, g, vf, vg, nd))
+        if int(nd):
+            # max_active overflow / factor-cache miss dropped evaluations
+            self.stats["test_dropped_pairs"] = (
+                self.stats.get("test_dropped_pairs", 0) + int(nd))
         out = np.concatenate(
             [f[:, None], g, vf[:, None], vg], axis=-1)
         return out[:nq]

@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .api import _next_pow2
+from .api import _next_pow2, _pallas_error_types
 from .config import (BIGBIRD_CAMS, CAPACITY_3D, MAPPER_3D, OBSGP_2D,
                      TREE_3D, YCB_CAMS, CameraParam, CapacityParam,
                      MapperParam, ObsGPParam, TreeParam)
@@ -296,13 +296,17 @@ class GPisMap3D:
                 max_active=self.cap.test_active_cells)
 
         try:
-            f, g, vf, vg = _run(self._use_pallas())
-        except Exception:
+            f, g, vf, vg, nd = _run(self._use_pallas())
+        except _pallas_error_types() as e:
             if not self._use_pallas():
                 raise
             self._pallas_ok = False      # sticky XLA fallback
-            f, g, vf, vg = _run(False)
-        f, g, vf, vg = jax.device_get((f, g, vf, vg))   # ONE host pull
+            self.stats["pallas_error"] = repr(e)
+            f, g, vf, vg, nd = _run(False)
+        f, g, vf, vg, nd = jax.device_get((f, g, vf, vg, nd))  # ONE pull
+        if int(nd):
+            self.stats["test_dropped_pairs"] = (
+                self.stats.get("test_dropped_pairs", 0) + int(nd))
         out = np.concatenate(
             [f[:, None], g, vf[:, None], vg], axis=-1)
         return out[:nq]

@@ -254,7 +254,11 @@ def map_test(store: ClusterStore, grid: jnp.ndarray, q: jnp.ndarray,
     may touch (each is Cholesky-factorized once into a transient buffer);
     overflowing cells are dropped from blending.
 
-    Returns (f [Q], grad [Q, D], varf [Q], vargrad [Q, D]).
+    Returns (f [Q], grad [Q, D], varf [Q], vargrad [Q, D],
+    n_dropped_pairs [] int32). n_dropped_pairs counts (query, rank)
+    evaluations whose cell fell outside the factor buffer (max_active
+    overflow / factor-cache miss) — the test-path twin of the index's
+    `overflow_support` counter. 0 means every candidate was evaluated.
     """
     nq, d = q.shape
     slots, sqd, ok = _grid_candidates(grid, q, cell_size, grid_half, noff,
@@ -298,6 +302,9 @@ def map_test(store: ClusterStore, grid: jnp.ndarray, q: jnp.ndarray,
     comp = jnp.clip(comp, 0, max_active - 1)
     hit = (pair_seg >= 0) & (uniq[comp] == pair_seg)
     pair_comp = jnp.where(hit, comp, -1).astype(jnp.int32)
+    # pairs whose cell fell outside the factor buffer are silently skipped
+    # by the tile plan below — count them so callers can surface the drop
+    n_dropped = jnp.sum((pair_seg >= 0) & ~hit).astype(jnp.int32)
 
     plan = segmented.plan_tiles(pair_comp, max_active, tile)
 
@@ -406,7 +413,7 @@ def map_test(store: ClusterStore, grid: jnp.ndarray, q: jnp.ndarray,
     f_out = jnp.where(bad, 0.0, f_out)
     g_out = jnp.where(bad[:, None], 0.0, g_out)
     vg_out = jnp.where(bad[:, None], 0.0, vg_out)
-    return f_out, g_out, vf_out, vg_out
+    return f_out, g_out, vf_out, vg_out, n_dropped
 
 
 def build_grid(cell_coords: np.ndarray, slots: np.ndarray, dim: int,

@@ -71,7 +71,7 @@ def sdf_eval(store: cluster.ClusterStore, grid: jnp.ndarray, x: jnp.ndarray,
     visualize_gpisMap.m:26). Pass prefactorized cell factors (from
     cluster.factorize_slots) to avoid refactorizing per call — essential
     inside the marching loop."""
-    f, g, vf, _ = cluster.map_test(
+    f, g, vf, _, _ = cluster.map_test(
         store, grid, x, cell_size=cfg.cell_size, grid_half=cfg.grid_half,
         noff=cfg.noff, search_half=cfg.search_half, scale=cfg.scale,
         val_const=cfg.val_const, grad_const=cfg.grad_const,

@@ -32,6 +32,12 @@ def plot_field_2d(ax, res: np.ndarray, xtest: np.ndarray, grid_shape,
 
     pc = ax.pcolormesh(xg, yg, f, cmap="RdBu", vmin=-1.0, vmax=1.0,
                        shading="auto")
+    # variance overlay: a white layer whose per-pixel alpha IS the
+    # variance, washing uncertain regions out (the MATLAB second-axes
+    # pcolor(ones)+alpha(va) trick, visualize_gpisMap.m:60-64)
+    ax.pcolormesh(xg, yg, np.ones_like(var), cmap="gray", vmin=0.0,
+                  vmax=1.0, shading="auto",
+                  alpha=np.clip(var, 0.0, 1.0))
     # zero contour, masked where uncertain (visualize_gpisMap.m:51-58)
     fm = np.where(var < var_thre, f, np.nan)
     ax.contour(xg, yg, fm, levels=[0.0], colors="k", linewidths=1.5)

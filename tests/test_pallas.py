@@ -64,3 +64,55 @@ def test_pallas_tile_matches_xla():
     assert float(jnp.max(
         jnp.abs(jnp.swapaxes(vg2t, -1, -2) - vg0)[act])) < 1e-4
 
+
+def _tiny_mapper():
+    from gpismap_tpu.api import GPisMap2D
+    from gpismap_tpu.config import CapacityParam
+
+    cap = CapacityParam(gp_support=16, retrain_batch=8, max_cells=64,
+                        max_nodes=512, test_tile=16, test_active_cells=16,
+                        max_beams=64)
+    m = GPisMap2D(cap=cap)
+    th = np.linspace(-1.0, 1.0, 64, dtype=np.float32)
+    rg = np.full(64, 3.0, np.float32)
+    m.update(th, rg, np.array([0, 0, 1, 0, 0, 1], np.float32))
+    return m
+
+
+def test_pallas_failure_is_visible(monkeypatch):
+    """A Pallas compile/run failure must (a) fall back to the XLA path,
+    (b) leave the error in stats — never degrade silently (api.py test)."""
+    import gpismap_tpu.ops.pallas_tile as pt
+
+    m = _tiny_mapper()
+    q = np.asarray([[3.0, 0.0], [0.0, 0.0]], np.float32)
+    ref = m.test(q)
+
+    def boom(*a, **kw):
+        raise jax.errors.JaxRuntimeError("injected pallas failure")
+
+    monkeypatch.setattr(pt, "tile_eval_pallas", boom)
+    monkeypatch.setattr(type(m), "_use_pallas", lambda self: True)
+    out = m.test(q)
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+    assert "injected pallas failure" in m.stats.get("pallas_error", "")
+    assert m._pallas_ok is False        # sticky fallback engaged
+
+
+def test_non_pallas_errors_propagate(monkeypatch):
+    """Plumbing bugs (TypeError etc.) must NOT be swallowed by the
+    fallback."""
+    import pytest
+
+    import gpismap_tpu.ops.pallas_tile as pt
+
+    m = _tiny_mapper()
+
+    def boom(*a, **kw):
+        raise TypeError("argument plumbing bug")
+
+    monkeypatch.setattr(pt, "tile_eval_pallas", boom)
+    monkeypatch.setattr(type(m), "_use_pallas", lambda self: True)
+    with pytest.raises(TypeError):
+        m.test(np.asarray([[3.0, 0.0]], np.float32))
+

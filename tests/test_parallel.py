@@ -61,10 +61,10 @@ def test_sharded_map_test_matches_single():
               var_thre=0.4, default_var=1.01, tile=cap.test_tile,
               max_cells=cap.max_cells, max_active=cap.test_active_cells)
 
-    f1, g1, v1, _ = cluster.map_test(store, grid, jnp.asarray(q), **kw)
+    f1, g1, v1, _, _ = cluster.map_test(store, grid, jnp.asarray(q), **kw)
     mesh = data_mesh(jax.devices()[:8])
-    f8, g8, v8, _ = sharded_map_test(store, grid, jnp.asarray(q), mesh,
-                                     **kw)
+    f8, g8, v8, _, _ = sharded_map_test(store, grid, jnp.asarray(q), mesh,
+                                        **kw)
     np.testing.assert_allclose(np.asarray(f1), np.asarray(f8), rtol=1e-5,
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v8), rtol=1e-5,
