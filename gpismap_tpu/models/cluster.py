@@ -54,12 +54,15 @@ def make_store(cap: CapacityParam, dim: int) -> ClusterStore:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("scale",))
+@jax.jit
 def retrain_cells(store: ClusterStore, slots: jnp.ndarray,
                   slot_ok: jnp.ndarray, x: jnp.ndarray, grad: jnp.ndarray,
                   val: jnp.ndarray, sigx: jnp.ndarray, siggrad: jnp.ndarray,
-                  valid: jnp.ndarray, scale: float) -> ClusterStore:
+                  valid: jnp.ndarray, scale) -> ClusterStore:
     """Fit a batch of cluster GPs and scatter them into their slots.
+
+    `scale` is a traced scalar (hyperparameter gradients flow through the
+    fit; reference hyperparams: covFnc.cpp:29-33, params.h:73-93).
 
     TPU analogue of the thread fan-out in updateGPs (GPisMap.cpp:596-663):
     one batched Cholesky over [B, M', M'] instead of per-cell Eigen llt on
@@ -212,8 +215,8 @@ def _grid_candidates(grid: jnp.ndarray, q: jnp.ndarray, cell_size: float,
     return slots, sqd, ok
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "max_active"))
-def factorize_slots(store: ClusterStore, slots: jnp.ndarray, scale: float,
+@functools.partial(jax.jit, static_argnames=("max_active",))
+def factorize_slots(store: ClusterStore, slots: jnp.ndarray, scale,
                     max_active: int):
     """Public factor precomputation for a slot set (padded with -1).
 
@@ -232,14 +235,12 @@ def factorize_slots(store: ClusterStore, slots: jnp.ndarray, scale: float,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cell_size", "grid_half", "noff", "search_half",
-                     "scale", "val_const", "grad_const", "var_thre",
-                     "default_var", "tile", "max_cells", "max_active",
-                     "use_pallas"))
+    static_argnames=("grid_half", "noff", "tile", "max_cells",
+                     "max_active", "use_pallas"))
 def map_test(store: ClusterStore, grid: jnp.ndarray, q: jnp.ndarray,
-             cell_size: float, grid_half: int, noff: int,
-             search_half: float, scale: float, val_const: float,
-             grad_const: float, var_thre: float, default_var: float,
+             cell_size, grid_half: int, noff: int,
+             search_half, scale, val_const,
+             grad_const, var_thre, default_var,
              tile: int, max_cells: int, max_active: int = 512,
              use_pallas: bool = False, factors=None):
     """Batched SDF+gradient+variance query.

@@ -33,11 +33,15 @@ from jax.experimental.pallas import tpu as pltpu
 _SQRT3 = 1.7320508075688772
 
 
-def _make_kernel(d, scale, val_const, grad_const, n_panels):
-    a = _SQRT3 / scale
-
-    def kernel(seg_ref, linv_ref, xt_ref, alpha_ref, gf_ref, vl_ref,
-               qt_ref, f_ref, g_ref, vf_ref, vg_ref, ks_ref):
+def _make_kernel(d, n_panels):
+    def kernel(seg_ref, hyp_ref, linv_ref, xt_ref, alpha_ref, gf_ref,
+               vl_ref, qt_ref, f_ref, g_ref, vf_ref, vg_ref, ks_ref):
+        # hyperparameters live in SMEM (hyp = [scale, val_const,
+        # grad_const]) so they are runtime values, not compile-time
+        # constants — scale changes don't recompile and stay traceable
+        a = _SQRT3 / hyp_ref[0]
+        val_const = hyp_ref[1]
+        grad_const = hyp_ref[2]
         # grid = (tiles, panels); the L^-1 row-panel is the only input
         # blocked along the panel axis. ks is built once per tile (panel 0)
         # into VMEM scratch and reused; variance accumulates across panels
@@ -101,13 +105,12 @@ def _make_kernel(d, scale, val_const, grad_const, n_panels):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("d", "scale", "val_const", "grad_const", "interpret",
-                     "panel_override"))
+    static_argnames=("d", "interpret", "panel_override"))
 def tile_eval_pallas(tile_seg: jnp.ndarray, linv_buf: jnp.ndarray,
                      xt_cells: jnp.ndarray, alpha_cells: jnp.ndarray,
                      gradflag_cells: jnp.ndarray, valid_cells: jnp.ndarray,
-                     qt_tiles: jnp.ndarray, d: int, scale: float,
-                     val_const: float, grad_const: float,
+                     qt_tiles: jnp.ndarray, d: int, scale,
+                     val_const, grad_const,
                      interpret: bool = False,
                      panel_override: int | None = None):
     """Evaluate all tiles; per-tile cell blocks selected by scalar-prefetch.
@@ -119,6 +122,7 @@ def tile_eval_pallas(tile_seg: jnp.ndarray, linv_buf: jnp.ndarray,
     alpha_cells:[S, MP] (reshaped internally to [S, MP, 1])
     gradflag_cells/valid_cells: [S, M] float32 0/1 (reshaped to [S, M, 1])
     qt_tiles:   [NT, D, T] axis-major tile queries
+    scale/val_const/grad_const: runtime scalars (traced; SMEM in-kernel)
 
     Returns (f [NT, T], g_t [NT, D, T], vf [NT, T], vg_t [NT, D, T]).
     """
@@ -135,35 +139,38 @@ def tile_eval_pallas(tile_seg: jnp.ndarray, linv_buf: jnp.ndarray,
     alpha3 = alpha_cells[..., None]
     gf3 = gradflag_cells[..., None]
     vl3 = valid_cells[..., None]
+    hyp = jnp.stack([jnp.asarray(scale, jnp.float32),
+                     jnp.asarray(val_const, jnp.float32),
+                     jnp.asarray(grad_const, jnp.float32)])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(nt, n_panels),
         in_specs=[
             # inactive tiles (seg -1) read block 0 (cheap, never computed on)
             pl.BlockSpec((1, panel, mp),
-                         lambda i, p, seg: (jnp.maximum(seg[i], 0), p, 0)),
+                         lambda i, p, seg, h: (jnp.maximum(seg[i], 0), p, 0)),
             pl.BlockSpec((1, d, m),
-                         lambda i, p, seg: (jnp.maximum(seg[i], 0), 0, 0)),
+                         lambda i, p, seg, h: (jnp.maximum(seg[i], 0), 0, 0)),
             pl.BlockSpec((1, mp, 1),
-                         lambda i, p, seg: (jnp.maximum(seg[i], 0), 0, 0)),
+                         lambda i, p, seg, h: (jnp.maximum(seg[i], 0), 0, 0)),
             pl.BlockSpec((1, m, 1),
-                         lambda i, p, seg: (jnp.maximum(seg[i], 0), 0, 0)),
+                         lambda i, p, seg, h: (jnp.maximum(seg[i], 0), 0, 0)),
             pl.BlockSpec((1, m, 1),
-                         lambda i, p, seg: (jnp.maximum(seg[i], 0), 0, 0)),
-            pl.BlockSpec((1, d, t), lambda i, p, seg: (i, 0, 0)),
+                         lambda i, p, seg, h: (jnp.maximum(seg[i], 0), 0, 0)),
+            pl.BlockSpec((1, d, t), lambda i, p, seg, h: (i, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, t), lambda i, p, seg: (i, 0, 0)),
-            pl.BlockSpec((1, d, t), lambda i, p, seg: (i, 0, 0)),
-            pl.BlockSpec((1, 1, t), lambda i, p, seg: (i, 0, 0)),
-            pl.BlockSpec((1, d, t), lambda i, p, seg: (i, 0, 0)),
+            pl.BlockSpec((1, 1, t), lambda i, p, seg, h: (i, 0, 0)),
+            pl.BlockSpec((1, d, t), lambda i, p, seg, h: (i, 0, 0)),
+            pl.BlockSpec((1, 1, t), lambda i, p, seg, h: (i, 0, 0)),
+            pl.BlockSpec((1, d, t), lambda i, p, seg, h: (i, 0, 0)),
         ],
         scratch_shapes=[pltpu.VMEM((mp, t * (1 + d)), jnp.float32)],
     )
 
     f, g, vf, vg = pl.pallas_call(
-        _make_kernel(d, scale, val_const, grad_const, n_panels),
+        _make_kernel(d, n_panels),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((nt, 1, t), jnp.float32),
@@ -172,5 +179,5 @@ def tile_eval_pallas(tile_seg: jnp.ndarray, linv_buf: jnp.ndarray,
             jax.ShapeDtypeStruct((nt, d, t), jnp.float32),
         ],
         interpret=interpret,
-    )(tile_seg, linv_buf, xt_cells, alpha3, gf3, vl3, qt_tiles)
+    )(tile_seg, hyp, linv_buf, xt_cells, alpha3, gf3, vl3, qt_tiles)
     return f[:, 0, :], g, vf[:, 0, :], vg

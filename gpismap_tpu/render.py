@@ -48,6 +48,29 @@ class RenderConfig(NamedTuple):
     step_scale: float = 0.9
 
 
+class Hyper(NamedTuple):
+    """Traced GP hyperparameters for the SDF oracle.
+
+    Overrides the static RenderConfig values so jax.grad can flow into the
+    kernel length scale and variance constants (the reference's scale /
+    noise hyperparameters, covFnc.cpp:29-33, params.h:73-93).
+    """
+
+    scale: jnp.ndarray
+    val_const: jnp.ndarray
+    grad_const: jnp.ndarray
+
+
+def hyper_from_scale(scale, dim: int) -> Hyper:
+    """Hyper with the dim-appropriate variance constants; grad_const
+    tracks scale as 3/l^2 + const (OnGPIS.h:47,58)."""
+    sc = jnp.asarray(scale, jnp.float32)
+    vc = 1.001 if dim == 3 else 1.01
+    gc = 3.0 / (sc * sc) + (0.001 if dim == 3 else 0.1)
+    return Hyper(scale=sc, val_const=jnp.asarray(vc, jnp.float32),
+                 grad_const=gc)
+
+
 def config_from_mapper(m, **overrides) -> RenderConfig:
     is3d = m.dim == 3
     cfg = RenderConfig(
@@ -65,16 +88,19 @@ def config_from_mapper(m, **overrides) -> RenderConfig:
 
 
 def sdf_eval(store: cluster.ClusterStore, grid: jnp.ndarray, x: jnp.ndarray,
-             cfg: RenderConfig, factors=None):
+             cfg: RenderConfig, factors=None, hyper: Hyper | None = None):
     """(sdf, grad, var) at x [N, D]; sdf = posterior mean + fbias so the
     surface sits at sdf == 0 (the demo's +bias convention,
     visualize_gpisMap.m:26). Pass prefactorized cell factors (from
     cluster.factorize_slots) to avoid refactorizing per call — essential
-    inside the marching loop."""
+    inside the marching loop. `hyper` (traced) overrides the static
+    scale/variance constants for hyperparameter autodiff."""
+    h = hyper or Hyper(scale=cfg.scale, val_const=cfg.val_const,
+                       grad_const=cfg.grad_const)
     f, g, vf, _, _ = cluster.map_test(
         store, grid, x, cell_size=cfg.cell_size, grid_half=cfg.grid_half,
-        noff=cfg.noff, search_half=cfg.search_half, scale=cfg.scale,
-        val_const=cfg.val_const, grad_const=cfg.grad_const,
+        noff=cfg.noff, search_half=cfg.search_half, scale=h.scale,
+        val_const=h.val_const, grad_const=h.grad_const,
         var_thre=cfg.var_thre, default_var=cfg.default_var, tile=cfg.tile,
         max_cells=cfg.max_cells, max_active=cfg.max_active,
         factors=factors)
@@ -84,13 +110,17 @@ def sdf_eval(store: cluster.ClusterStore, grid: jnp.ndarray, x: jnp.ndarray,
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def sphere_trace(store: cluster.ClusterStore, grid: jnp.ndarray,
                  origins: jnp.ndarray, dirs: jnp.ndarray,
-                 cfg: RenderConfig, factors=None):
+                 cfg: RenderConfig, factors=None,
+                 hyper: Hyper | None = None):
     """March rays against the SDF; differentiable depth via implicit
     correction.
 
     origins/dirs: [N, D] (dirs unit). Returns dict with t [N] (corrected,
     differentiable), hit [N] bool, pos [N, D], normal [N, D] (posterior
     gradient, normalized), var [N], steps [N].
+
+    `hyper` (traced) makes depth differentiable w.r.t. the GP scale and
+    variance constants in addition to ray/store inputs.
     """
     n = origins.shape[0]
 
@@ -98,7 +128,7 @@ def sphere_trace(store: cluster.ClusterStore, grid: jnp.ndarray,
         def body(carry, _):
             t, done, steps = carry
             x = o + t[:, None] * d
-            f, _, vf = sdf_eval(store, grid, x, cfg, factors)
+            f, _, vf = sdf_eval(store, grid, x, cfg, factors, hyper)
             hit = jnp.abs(f) < cfg.eps
             adv = jnp.where(done | hit, 0.0, cfg.step_scale * f)
             # unmapped space returns f = fbias -> fixed forward steps
@@ -119,7 +149,7 @@ def sphere_trace(store: cluster.ClusterStore, grid: jnp.ndarray,
 
     # implicit-function correction: carries d t*/d(inputs)
     x_hat = origins + t_hat[:, None] * dirs
-    f, g, vf = sdf_eval(store, grid, x_hat, cfg, factors)
+    f, g, vf = sdf_eval(store, grid, x_hat, cfg, factors, hyper)
     denom = jnp.sum(g * dirs, axis=-1)
     denom = jnp.where(jnp.abs(denom) > 1e-3, denom,
                       jnp.where(denom < 0, -1e-3, 1e-3))
