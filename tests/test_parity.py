@@ -46,6 +46,43 @@ def test_parity_2d_two_frames():
 
 
 @pytest.mark.slow
+def test_parity_2d_full_sequence():
+    """All 28 demo frames (matlab/demo_gpisMap.m:37-40) vs the full-run
+    golden; grid subsampled [::16] (~3.1k pts) to bound suite time. The
+    reference workload itself is NOT shortened — a regression anywhere in
+    the 28-frame online loop fails this gate."""
+    from gpismap_tpu import datasets
+    from gpismap_tpu.api import GPisMap2D
+
+    g = _need("golden_2d.npz")
+    assert len(g["frames"]) == 28
+    xtest = g["xtest"][::16]
+    ref = g["res"][::16]
+
+    m = GPisMap2D()
+    n_frames = 0
+    for fr in datasets.gazebo_frames():
+        m.update(fr.thetas, fr.ranges, fr.pose)
+        n_frames += 1
+    assert n_frames == 28
+    res = m.test(xtest)
+
+    mapped_ref = ref[:, 3] < 1.0
+    mapped = res[:, 3] < 1.0
+    agree = (mapped_ref == mapped).mean()
+    assert agree > 0.995, f"mapped agreement {agree}"
+    both = mapped_ref & mapped
+    assert both.sum() > 1000
+    df = np.abs(res[both, 0] - ref[both, 0])
+    dg = np.abs(res[both, 1:3] - ref[both, 1:3])
+    dv = np.abs(res[both, 3] - ref[both, 3])
+    assert np.median(df) < 2e-3, np.median(df)
+    assert np.percentile(df, 95) < 2e-2, np.percentile(df, 95)
+    assert np.median(dg) < 2e-3, np.median(dg)
+    assert np.median(dv) < 2e-3, np.median(dv)
+
+
+@pytest.mark.slow
 def test_parity_3d_one_frame():
     from gpismap_tpu import datasets
     from gpismap_tpu.api3d import GPisMap3D

@@ -27,12 +27,23 @@ def report(name, ours, ref, mask=None):
           f"p95={np.percentile(d, 95):.4f} max={d.max():.4f}")
 
 
+def _load_golden(stem, n_frames):
+    """golden_{stem}_fN.npz, falling back to the full-run golden_{stem}.npz
+    (28 frames 2D / 40 frames 3D)."""
+    p = os.path.join(REPO, "tests", "goldens", f"golden_{stem}_f{n_frames}.npz")
+    if not os.path.exists(p):
+        p = os.path.join(REPO, "tests", "goldens", f"golden_{stem}.npz")
+    g = np.load(p)
+    assert len(g["frames"]) == n_frames, (
+        f"{p} holds {len(g['frames'])} frames, wanted {n_frames}")
+    return g
+
+
 def run_2d(n_frames, sub):
     from gpismap_tpu import datasets
     from gpismap_tpu.api import GPisMap2D
 
-    g = np.load(os.path.join(REPO, "tests", "goldens",
-                             f"golden_2d_f{n_frames}.npz"))
+    g = _load_golden("2d", n_frames)
     xtest = g["xtest"][::sub]
     ref = g["res"][::sub]
 
@@ -76,8 +87,7 @@ def run_3d(n_frames, sub):
     from gpismap_tpu import datasets
     from gpismap_tpu.api3d import GPisMap3D
 
-    g = np.load(os.path.join(REPO, "tests", "goldens",
-                             f"golden_3d_f{n_frames}.npz"))
+    g = _load_golden("3d", n_frames)
     xtest = g["xtest"][::sub]
     ref = g["res"][::sub]
 
