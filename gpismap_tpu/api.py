@@ -25,6 +25,116 @@ def _next_pow2(n: int, lo: int = 64) -> int:
     return max(lo, 1 << max(0, (n - 1)).bit_length())
 
 
+class _MeshMixin:
+    """Multi-device execution for the online mappers.
+
+    The reference's parallel backend is a std::thread fan-out over query
+    chunks and cluster cells (GPisMap.cpp:596-663,765-810 — C13). Here the
+    same three hot loops run SPMD over a jax.sharding.Mesh instead:
+
+      * test(): the query batch is sharded along the mesh axis, the
+        cluster-GP store / grid / factor cache replicated — pure data
+        parallel, zero cross-chip traffic in the forward loop.
+      * update() re-evaluation: the in-view node batch and the beam batch
+        are sharded; the (tiny) observation GP is computed replicated.
+      * retrain: the per-cell GP fit batch is sharded; the updated store
+        is re-replicated afterwards (the SURVEY §5.8 all-gather of the
+        node table after each update step, inserted by XLA).
+
+    All device entry points route through _dev(); capacity paddings are
+    powers of two >= 64, so any power-of-two mesh up to 64 devices
+    divides every sharded axis.
+    """
+
+    def _init_mesh(self, mesh):
+        self.mesh = mesh
+        if mesh is None:
+            self._sh_data = self._sh_rep = None
+            return
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        if 64 % mesh.size != 0 or self.cap.retrain_batch % mesh.size != 0:
+            raise ValueError(
+                f"mesh size {mesh.size} must be a power of two dividing "
+                f"64 and retrain_batch={self.cap.retrain_batch} "
+                "(sharded axes are padded to multiples of these)")
+        axis = mesh.axis_names[0]
+        self._sh_data = NamedSharding(mesh, P(axis))
+        self._sh_rep = NamedSharding(mesh, P())
+
+    def _dev(self, x, shard: bool = False):
+        """Host -> device with the mapper's sharding (axis 0 if shard).
+        Accepts arrays or pytrees (e.g. the ClusterStore)."""
+        if self.mesh is None:
+            return jax.device_put(x)
+        return jax.device_put(x, self._sh_data if shard else self._sh_rep)
+
+    def _replicate_state(self):
+        """Pin store (+ factors) to the replicated sharding after retrain
+        so per-frame compiles see stable input shardings."""
+        if self.mesh is not None:
+            self.store = jax.device_put(self.store, self._sh_rep)
+
+
+def _retrain_store(m) -> None:
+    """Step 4 shared by both mappers: retrain touched cluster GPs
+    (GPisMap.cpp:596-663 / GPisMap3.cpp:720-792) with support-count size
+    buckets.
+
+    Cells are grouped by support count into pow2-ish size buckets and each
+    bucket is fitted at its own (static) padding — the load-balancing-by-
+    size-bucket scheme from SURVEY §7: a batch of mostly-small cells costs
+    (mb/M)^3 of the full-padding Cholesky FLOPs instead of all cells
+    paying the worst case. Results are exactly equal to full-padding fits
+    (masked identity rows; see cluster.retrain_cells).
+    """
+    mcap = m.cap.gp_support
+    rt = m.index.collect_retrain(m.p.gp_radius_times, mcap,
+                                 m.cap.retrain_batch * 16)
+    b = rt["n"]
+    if b:
+        if rt["total"] > b:
+            m.stats["retrain_truncated"] = rt["total"] - b
+        counts = rt["counts"][:b]
+        chunk = m.cap.retrain_batch
+        assigned = np.zeros(b, bool)
+        for mb in m._retrain_buckets:
+            if mb >= mcap:
+                selb = ~assigned
+            else:
+                selb = (~assigned) & (counts <= mb)
+            assigned |= selb
+            rows = np.nonzero(selb)[0]
+            for s in range(0, len(rows), chunk):
+                rr = rows[s:s + chunk]
+                bb = len(rr)
+                sup = np.zeros((chunk, mb), np.int32)
+                sup[:bb] = rt["support"][rr][:, :mb]
+                slots = np.full(chunk, -1, np.int32)
+                slots[:bb] = rt["slots"][rr]
+                vmask = sup >= 0
+                vmask[bb:] = False
+                nd = m.index.get_nodes(sup.reshape(-1))
+                shp = sup.shape
+                m.store = cluster.retrain_cells(
+                    m.store, m._dev(slots), m._dev(slots >= 0),
+                    m._dev(nd["pos"].reshape(shp + (m.dim,)), shard=True),
+                    m._dev(nd["grad"].reshape(shp + (m.dim,)), shard=True),
+                    m._dev(nd["val"].reshape(shp), shard=True),
+                    m._dev(nd["pos_sig"].reshape(shp), shard=True),
+                    m._dev(nd["grad_sig"].reshape(shp), shard=True),
+                    m._dev(vmask, shard=True), m.p.map_scale_param)
+    m.index.clear_active()
+    m._rebuild_grid()
+    m._factors = None
+    m._replicate_state()
+
+
+def _default_buckets(mcap: int) -> tuple:
+    """Support-size buckets (ascending, last == capacity)."""
+    cand = sorted({max(16, mcap // 4), max(16, mcap // 2), mcap})
+    return tuple(b for b in cand if b <= mcap)
+
+
 def _pallas_error_types() -> tuple:
     """Exceptions a failing Pallas compile/run can raise.
 
@@ -44,7 +154,7 @@ def _pallas_error_types() -> tuple:
     return tuple(errs)
 
 
-class GPisMap2D:
+class GPisMap2D(_MeshMixin):
     """Online continuous 2D SDF mapper from LiDAR scans.
 
     update(thetas, ranges, pose6) ingests one scan with pose
@@ -52,13 +162,17 @@ class GPisMap2D:
     convention, mexGPisMap.cpp:57-67 / demo_gpisMap.m:49-51);
     test(x) returns [N, 6] = [f, gx, gy, var_f, var_gx, var_gy]
     (mexGPisMap.cpp:99).
+
+    Pass `mesh` (jax.sharding.Mesh, one axis) to run the full online
+    loop SPMD over multiple devices (see _MeshMixin).
     """
 
     def __init__(self, params: MapperParam = MAPPER_2D,
                  obs_param: ObsGPParam = OBSGP_1D,
                  tree: TreeParam = TREE_2D,
                  cap: CapacityParam = CAPACITY_2D,
-                 strict_reeval: bool = False):
+                 strict_reeval: bool = False,
+                 mesh=None):
         self.p = params
         self.op = obs_param
         self.tp = tree
@@ -71,30 +185,32 @@ class GPisMap2D:
         # evaluates a single snapshot — measurably identical on the 2D
         # data (99.98% field agreement) and one device call per frame.
         self.strict_reeval = strict_reeval
+        self._init_mesh(mesh)
         self.index = SpatialIndex(self.dim, tree, max_slots=cap.max_cells)
-        self.store = cluster.make_store(cap, self.dim)
+        self.store = self._dev(cluster.make_store(cap, self.dim))
         self.cell_size = 2.0 * tree.cluster_halfleng
         # final root can double once past max_halfleng
         # (quadtree.cpp:162-165): extent = 2 * max_halfleng
         self.grid_half = int(round(2.0 * tree.max_halfleng / self.cell_size))
-        self.grid = cluster.build_grid(np.zeros((0, self.dim), np.int64),
-                                       np.zeros(0, np.int32), self.dim,
-                                       self.grid_half)
+        self.grid = self._dev(cluster.build_grid(
+            np.zeros((0, self.dim), np.int64), np.zeros(0, np.int32),
+            self.dim, self.grid_half))
         self._search_half = params.map_scale_param * 4.0  # GPisMap.cpp:680
         self._noff = int((self._search_half + self.cell_size)
                          / self.cell_size)
         self.frame = 0
         self.stats: dict = {}
         self._factors = None   # cached per-cell Cholesky factors
+        self._retrain_buckets = _default_buckets(cap.gp_support)
 
     # ------------------------------------------------------------------
     def reset(self):
         """Drop all map state (mexGPisMap.cpp:123-130)."""
         self.index.reset()
-        self.store = cluster.make_store(self.cap, self.dim)
-        self.grid = cluster.build_grid(np.zeros((0, self.dim), np.int64),
-                                       np.zeros(0, np.int32), self.dim,
-                                       self.grid_half)
+        self.store = self._dev(cluster.make_store(self.cap, self.dim))
+        self.grid = self._dev(cluster.build_grid(
+            np.zeros((0, self.dim), np.int64), np.zeros(0, np.int32),
+            self.dim, self.grid_half))
         self.frame = 0
         self._factors = None
 
@@ -132,8 +248,8 @@ class GPisMap2D:
 
         if self.strict_reeval:
             prep, obs, nm = mapper2d.frame_compute_2d(
-                jnp.asarray(th_p), jnp.asarray(rg_p), jnp.asarray(tr),
-                jnp.asarray(rot), self.p, self.op, g_max=g_max)
+                self._dev(th_p, shard=True), self._dev(rg_p, shard=True),
+                self._dev(tr), self._dev(rot), self.p, self.op, g_max=g_max)
             self._update_map_points(obs, tr, rot, rmax)
         else:
             # whole frame in ONE device dispatch (+ retrain below)
@@ -145,10 +261,13 @@ class GPisMap2D:
             nvalid = np.zeros(k, bool)
             nvalid[:len(node_ids)] = True
             rv, nm = mapper2d.frame_update_2d(
-                jnp.asarray(th_p), jnp.asarray(rg_p), jnp.asarray(tr),
-                jnp.asarray(rot), jnp.asarray(d["pos"]),
-                jnp.asarray(d["grad"]), jnp.asarray(d["pos_sig"]),
-                jnp.asarray(d["grad_sig"]), jnp.asarray(nvalid), self.p,
+                self._dev(th_p, shard=True), self._dev(rg_p, shard=True),
+                self._dev(tr), self._dev(rot),
+                self._dev(d["pos"], shard=True),
+                self._dev(d["grad"], shard=True),
+                self._dev(d["pos_sig"], shard=True),
+                self._dev(d["grad_sig"], shard=True),
+                self._dev(nvalid, shard=True), self.p,
                 self.op, g_max=g_max)
             rv, nm = jax.device_get((rv, nm))   # ONE host pull
             n = len(node_ids)
@@ -238,10 +357,12 @@ class GPisMap2D:
         valid[:len(node_ids)] = True
 
         rv = mapper2d.reeval_2d(
-            obs, jnp.asarray(d["pos"]), jnp.asarray(d["grad"]),
-            jnp.asarray(d["pos_sig"]), jnp.asarray(d["grad_sig"]),
-            jnp.asarray(valid), jnp.asarray(tr), jnp.asarray(rot), self.p,
-            self.op)
+            obs, self._dev(d["pos"], shard=True),
+            self._dev(d["grad"], shard=True),
+            self._dev(d["pos_sig"], shard=True),
+            self._dev(d["grad_sig"], shard=True),
+            self._dev(valid, shard=True), self._dev(tr), self._dev(rot),
+            self.p, self.op)
 
         rv = jax.device_get(rv)             # ONE host pull
         n = len(node_ids)
@@ -253,49 +374,20 @@ class GPisMap2D:
 
     # ------------------------------------------------------------------
     def _update_gps(self):
-        m = self.cap.gp_support
-        rt = self.index.collect_retrain(self.p.gp_radius_times, m,
-                                        self.cap.retrain_batch * 16)
-        b = rt["n"]
-        if b:
-            if rt["total"] > b:
-                self.stats["retrain_truncated"] = rt["total"] - b
-            chunk = self.cap.retrain_batch
-            for s in range(0, b, chunk):
-                e = min(s + chunk, b)
-                bb = e - s
-                sup = np.zeros((chunk, m), np.int32)
-                sup[:bb] = rt["support"][s:e]
-                slots = np.full(chunk, -1, np.int32)
-                slots[:bb] = rt["slots"][s:e]
-                vmask = sup >= 0
-                vmask[bb:] = False
-                nd = self.index.get_nodes(sup.reshape(-1))
-                shp = sup.shape
-                self.store = cluster.retrain_cells(
-                    self.store, jnp.asarray(slots), jnp.asarray(slots >= 0),
-                    jnp.asarray(nd["pos"].reshape(shp + (self.dim,))),
-                    jnp.asarray(nd["grad"].reshape(shp + (self.dim,))),
-                    jnp.asarray(nd["val"].reshape(shp)),
-                    jnp.asarray(nd["pos_sig"].reshape(shp)),
-                    jnp.asarray(nd["grad_sig"].reshape(shp)),
-                    jnp.asarray(vmask), self.p.map_scale_param)
-        self.index.clear_active()
-        self._rebuild_grid()
-        self._factors = None
+        _retrain_store(self)
 
     def _rebuild_grid(self):
         cells = self.index.all_cluster_cells(cap=self.cap.max_cells * 4)
         if len(cells) == 0:
-            self.grid = cluster.build_grid(
+            self.grid = self._dev(cluster.build_grid(
                 np.zeros((0, self.dim), np.int64), np.zeros(0, np.int32),
-                self.dim, self.grid_half)
+                self.dim, self.grid_half))
             return
         centers, _, slots = self.index.cell_info(cells)
         coords = np.floor(centers / self.cell_size).astype(np.int64)
         live = slots >= 0
-        self.grid = cluster.build_grid(coords[live], slots[live], self.dim,
-                                       self.grid_half)
+        self.grid = self._dev(cluster.build_grid(
+            coords[live], slots[live], self.dim, self.grid_half))
 
     # ------------------------------------------------------------------
     def _use_pallas(self) -> bool:
@@ -326,8 +418,10 @@ class GPisMap2D:
         pad = np.full(self.cap.test_active_cells, -1, np.int32)
         pad[:len(live)] = np.sort(live)
         self._factors = cluster.factorize_slots(
-            self.store, jnp.asarray(pad), self.p.map_scale_param,
+            self.store, self._dev(pad), self.p.map_scale_param,
             self.cap.test_active_cells)
+        if self.mesh is not None:
+            self._factors = jax.device_put(self._factors, self._sh_rep)
         return self._factors
 
     def test(self, x: np.ndarray) -> np.ndarray:
@@ -336,6 +430,10 @@ class GPisMap2D:
         x: [N, 2] world points. Returns [N, 6]:
         [f, gx, gy, var_f, var_gx, var_gy] with the unmapped sentinel
         var_f = 1 + map_noise (GPisMap.cpp:685).
+
+        With a mesh, the query batch is sharded over the devices (the
+        SPMD equivalent of the reference's test_kernel thread chunking,
+        GPisMap.cpp:765-810).
         """
         x = np.asarray(x, np.float32).reshape(-1, self.dim)
         nq = x.shape[0]
@@ -346,8 +444,10 @@ class GPisMap2D:
         xq = np.full((qp, self.dim), 1e6, np.float32)
         xq[:nq] = x
         def _run(up):
-            return cluster.map_test(
-                self.store, self.grid, jnp.asarray(xq),
+            fn = cluster.map_test if self.mesh is None \
+                else cluster.map_test_sharded
+            return fn(
+                self.store, self.grid, self._dev(xq, shard=True),
                 factors=self._get_factors(), use_pallas=up,
                 cell_size=self.cell_size, grid_half=self.grid_half,
                 noff=self._noff, search_half=self._search_half,
@@ -356,7 +456,8 @@ class GPisMap2D:
                 var_thre=self.p.test_var_thre,
                 default_var=1.0 + self.p.map_noise_param,
                 tile=self.cap.test_tile, max_cells=self.cap.max_cells,
-                max_active=self.cap.test_active_cells)
+                max_active=self.cap.test_active_cells,
+                **({} if self.mesh is None else {"mesh": self.mesh}))
 
         try:
             f, g, vf, vg, nd = _run(self._use_pallas())

@@ -12,7 +12,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .api import _next_pow2, _pallas_error_types
+from .api import (_MeshMixin, _default_buckets, _next_pow2,
+                  _pallas_error_types, _retrain_store)
 from .config import (BIGBIRD_CAMS, CAPACITY_3D, MAPPER_3D, OBSGP_2D,
                      TREE_3D, YCB_CAMS, CameraParam, CapacityParam,
                      MapperParam, ObsGPParam, TreeParam)
@@ -20,13 +21,16 @@ from .models import cluster, mapper3d
 from .runtime import SpatialIndex
 
 
-class GPisMap3D:
+class GPisMap3D(_MeshMixin):
     """Online continuous 3D SDF mapper.
 
     update(depth, pose12) ingests one [H, W] depth image (meters) with pose
     [t(3), R column-major(9)] (mexGPisMap3.cpp convention); test(x)
     returns [N, 8] = [f, gx, gy, gz, var_f, var_gx, var_gy, var_gz]
     (mexGPisMap3.cpp:96-99).
+
+    Pass `mesh` to run queries/re-evaluation/retrain SPMD over multiple
+    devices (see api._MeshMixin).
     """
 
     def __init__(self, params: MapperParam = MAPPER_3D,
@@ -35,7 +39,8 @@ class GPisMap3D:
                  cap: CapacityParam = CAPACITY_3D,
                  camera: Optional[CameraParam] = None,
                  compat_reloc: bool = True,
-                 strict_reeval: bool = True):
+                 strict_reeval: bool = True,
+                 mesh=None):
         self.p = params
         self.op = obs_param
         self.tp = tree
@@ -48,13 +53,14 @@ class GPisMap3D:
         # nodes cross cell boundaries often enough that snapshot batching
         # visibly shifts the node set — strict order is the default
         self.strict_reeval = strict_reeval
+        self._init_mesh(mesh)
         self.index = SpatialIndex(self.dim, tree, max_slots=cap.max_cells)
-        self.store = cluster.make_store(cap, self.dim)
+        self.store = self._dev(cluster.make_store(cap, self.dim))
         self.cell_size = 2.0 * tree.cluster_halfleng
         self.grid_half = int(round(2.0 * tree.max_halfleng / self.cell_size))
-        self.grid = cluster.build_grid(np.zeros((0, 3), np.int64),
-                                       np.zeros(0, np.int32), 3,
-                                       self.grid_half)
+        self.grid = self._dev(cluster.build_grid(np.zeros((0, 3), np.int64),
+                                                 np.zeros(0, np.int32), 3,
+                                                 self.grid_half))
         # test search box: C_leng * 3 (GPisMap3.cpp:811)
         self._search_half = tree.cluster_halfleng * 3.0
         self._noff = int((self._search_half + self.cell_size)
@@ -62,6 +68,7 @@ class GPisMap3D:
         self.frame = 0
         self.stats: dict = {}
         self._factors = None   # cached per-cell Cholesky factors
+        self._retrain_buckets = _default_buckets(cap.gp_support)
 
     # ------------------------------------------------------------------
     def set_camera(self, cam_id_or_param, family: str = "bigbird"):
@@ -75,10 +82,10 @@ class GPisMap3D:
 
     def reset(self):
         self.index.reset()
-        self.store = cluster.make_store(self.cap, self.dim)
-        self.grid = cluster.build_grid(np.zeros((0, 3), np.int64),
-                                       np.zeros(0, np.int32), 3,
-                                       self.grid_half)
+        self.store = self._dev(cluster.make_store(self.cap, self.dim))
+        self.grid = self._dev(cluster.build_grid(np.zeros((0, 3), np.int64),
+                                                 np.zeros(0, np.int32), 3,
+                                                 self.grid_half))
         self.frame = 0
         self._factors = None
 
@@ -102,8 +109,10 @@ class GPisMap3D:
         tr = pose[:3]
         rot = pose[3:12].reshape(3, 3, order="F")
 
+        # depth stays replicated (the grid-partitioned obs fit is global);
+        # the sharded axes are re-evaluated nodes, retrain cells, queries
         prep, obs, nm = mapper3d.frame_compute_3d(
-            jnp.asarray(depth), jnp.asarray(tr), jnp.asarray(rot), self.cam,
+            self._dev(depth), self._dev(tr), self._dev(rot), self.cam,
             self.p, self.op)
         if int(jnp.sum(prep.valid)) <= 1:
             return
@@ -178,10 +187,12 @@ class GPisMap3D:
         valid[:len(node_ids)] = True
 
         rv = mapper3d.reeval_3d(
-            obs, jnp.asarray(d["pos"]), jnp.asarray(d["grad"]),
-            jnp.asarray(d["pos_sig"]), jnp.asarray(d["grad_sig"]),
-            jnp.asarray(valid), jnp.asarray(tr), jnp.asarray(rot), self.p,
-            self.op, compat=self.compat_reloc)
+            obs, self._dev(d["pos"], shard=True),
+            self._dev(d["grad"], shard=True),
+            self._dev(d["pos_sig"], shard=True),
+            self._dev(d["grad_sig"], shard=True),
+            self._dev(valid, shard=True), self._dev(tr), self._dev(rot),
+            self.p, self.op, compat=self.compat_reloc)
 
         rv = jax.device_get(rv)             # ONE host pull
         n = len(node_ids)
@@ -193,49 +204,20 @@ class GPisMap3D:
 
     # ------------------------------------------------------------------
     def _update_gps(self):
-        m = self.cap.gp_support
-        rt = self.index.collect_retrain(self.p.gp_radius_times, m,
-                                        self.cap.retrain_batch * 16)
-        b = rt["n"]
-        if b:
-            if rt["total"] > b:
-                self.stats["retrain_truncated"] = rt["total"] - b
-            chunk = self.cap.retrain_batch
-            for s in range(0, b, chunk):
-                e = min(s + chunk, b)
-                bb = e - s
-                sup = np.zeros((chunk, m), np.int32)
-                sup[:bb] = rt["support"][s:e]
-                slots = np.full(chunk, -1, np.int32)
-                slots[:bb] = rt["slots"][s:e]
-                vmask = sup >= 0
-                vmask[bb:] = False
-                nd = self.index.get_nodes(sup.reshape(-1))
-                shp = sup.shape
-                self.store = cluster.retrain_cells(
-                    self.store, jnp.asarray(slots), jnp.asarray(slots >= 0),
-                    jnp.asarray(nd["pos"].reshape(shp + (self.dim,))),
-                    jnp.asarray(nd["grad"].reshape(shp + (self.dim,))),
-                    jnp.asarray(nd["val"].reshape(shp)),
-                    jnp.asarray(nd["pos_sig"].reshape(shp)),
-                    jnp.asarray(nd["grad_sig"].reshape(shp)),
-                    jnp.asarray(vmask), self.p.map_scale_param)
-        self.index.clear_active()
-        self._rebuild_grid()
-        self._factors = None
+        _retrain_store(self)
 
     def _rebuild_grid(self):
         cells = self.index.all_cluster_cells(cap=self.cap.max_cells * 4)
         if len(cells) == 0:
-            self.grid = cluster.build_grid(np.zeros((0, 3), np.int64),
-                                           np.zeros(0, np.int32), 3,
-                                           self.grid_half)
+            self.grid = self._dev(cluster.build_grid(
+                np.zeros((0, 3), np.int64), np.zeros(0, np.int32), 3,
+                self.grid_half))
             return
         centers, _, slots = self.index.cell_info(cells)
         coords = np.floor(centers / self.cell_size).astype(np.int64)
         live = slots >= 0
-        self.grid = cluster.build_grid(coords[live], slots[live], 3,
-                                       self.grid_half)
+        self.grid = self._dev(cluster.build_grid(coords[live], slots[live],
+                                                 3, self.grid_half))
 
     # ------------------------------------------------------------------
     def _use_pallas(self) -> bool:
@@ -266,8 +248,10 @@ class GPisMap3D:
         pad = np.full(self.cap.test_active_cells, -1, np.int32)
         pad[:len(live)] = np.sort(live)
         self._factors = cluster.factorize_slots(
-            self.store, jnp.asarray(pad), self.p.map_scale_param,
+            self.store, self._dev(pad), self.p.map_scale_param,
             self.cap.test_active_cells)
+        if self.mesh is not None:
+            self._factors = jax.device_put(self._factors, self._sh_rep)
         return self._factors
 
     def test(self, x: np.ndarray) -> np.ndarray:
@@ -283,8 +267,10 @@ class GPisMap3D:
         xq = np.full((qp, 3), 1e6, np.float32)
         xq[:nq] = x
         def _run(up):
-            return cluster.map_test(
-                self.store, self.grid, jnp.asarray(xq),
+            fn = cluster.map_test if self.mesh is None \
+                else cluster.map_test_sharded
+            return fn(
+                self.store, self.grid, self._dev(xq, shard=True),
                 factors=self._get_factors(), use_pallas=up,
                 cell_size=self.cell_size, grid_half=self.grid_half,
                 noff=self._noff, search_half=self._search_half,
@@ -293,7 +279,8 @@ class GPisMap3D:
                 var_thre=self.p.test_var_thre,
                 default_var=1.0 + self.p.map_noise_param,
                 tile=self.cap.test_tile, max_cells=self.cap.max_cells,
-                max_active=self.cap.test_active_cells)
+                max_active=self.cap.test_active_cells,
+                **({} if self.mesh is None else {"mesh": self.mesh}))
 
         try:
             f, g, vf, vg, nd = _run(self._use_pallas())

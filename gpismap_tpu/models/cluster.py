@@ -70,8 +70,33 @@ def retrain_cells(store: ClusterStore, slots: jnp.ndarray,
     ClusterStore).
 
     slots: [B] destination slot per cell (-1 rows dropped via slot_ok).
+
+    Size-bucket support: the batch may carry FEWER support rows than the
+    store capacity (x: [B, mb, D] with mb <= M). The fit then runs at the
+    small size — (mb/M)^3 of the full-padding Cholesky FLOPs — and the
+    results are zero-padded into the store layout. Masked identity-row
+    padding makes this exactly equivalent to fitting at M (see
+    ops/kernels.py); callers bucket cells by support count (SURVEY §7
+    load-balancing by size bucket).
     """
     st = gp.fit_ongpis(x, grad, val, sigx, siggrad, valid, scale)
+    m = store.x.shape[1]
+    mb = x.shape[1]
+    d = x.shape[-1]
+    if mb < m:
+        def padm(a):
+            w = [(0, 0), (0, m - mb)] + [(0, 0)] * (a.ndim - 2)
+            return jnp.pad(a, w)
+
+        x, grad = padm(x), padm(grad)
+        val, sigx, siggrad = padm(val), padm(sigx), padm(siggrad)
+        valid = padm(valid)
+        # alpha layout is per-block [f(M), gx(M), gy(M)(, gz(M))]: pad each
+        # block from mb to M (padded rows have alpha == 0 by masking)
+        alpha = st.alpha.reshape(-1, 1 + d, mb)
+        alpha = jnp.pad(alpha, [(0, 0), (0, 0), (0, m - mb)])
+        alpha = alpha.reshape(-1, (1 + d) * m)
+        st = st._replace(alpha=alpha)
     c = store.x.shape[0]
     tgt = jnp.where(slot_ok, slots, c)
 
@@ -102,8 +127,9 @@ def clear_slots(store: ClusterStore, slots: jnp.ndarray,
     return store._replace(trained=trained)
 
 
-def _factorize_cells(store: ClusterStore, slots: jnp.ndarray, scale: float,
-                     chunk: int = 128) -> jnp.ndarray:
+def _factorize_cells(store: ClusterStore, slots: jnp.ndarray, scale,
+                     chunk: int = 128,
+                     vma_axes: tuple = ()) -> jnp.ndarray:
     """L^-1 for the given slots, chunked: [S, M', M'].
 
     Each active cell is factorized exactly ONCE per test call (the
@@ -130,10 +156,14 @@ def _factorize_cells(store: ClusterStore, slots: jnp.ndarray, scale: float,
         return linv_from_chol(jnp.linalg.cholesky(k))
 
     def one(slc):
-        return jax.lax.cond(
-            jnp.any(slc >= 0), compute,
-            lambda _: jnp.broadcast_to(jnp.eye(mp_, dtype=store.x.dtype),
-                                       (chunk, mp_, mp_)), slc)
+        def idem(_):
+            out = jnp.broadcast_to(jnp.eye(mp_, dtype=store.x.dtype),
+                                   (chunk, mp_, mp_))
+            if vma_axes:  # match compute's device-varying type (shard_map)
+                out = jax.lax.pcast(out, vma_axes, to='varying')
+            return out
+
+        return jax.lax.cond(jnp.any(slc >= 0), compute, idem, slc)
 
     linv = jax.lax.map(one, sl)
     mp = store.alpha.shape[-1]
@@ -236,13 +266,14 @@ def factorize_slots(store: ClusterStore, slots: jnp.ndarray, scale,
 @functools.partial(
     jax.jit,
     static_argnames=("grid_half", "noff", "tile", "max_cells",
-                     "max_active", "use_pallas"))
+                     "max_active", "use_pallas", "vma_axes"))
 def map_test(store: ClusterStore, grid: jnp.ndarray, q: jnp.ndarray,
              cell_size, grid_half: int, noff: int,
              search_half, scale, val_const,
              grad_const, var_thre, default_var,
              tile: int, max_cells: int, max_active: int = 512,
-             use_pallas: bool = False, factors=None):
+             use_pallas: bool = False, factors=None,
+             vma_axes: tuple = ()):
     """Batched SDF+gradient+variance query.
 
     Parity: GPisMap.cpp:665-763 (2D; var_thre 0.4) and
@@ -295,7 +326,8 @@ def map_test(store: ClusterStore, grid: jnp.ndarray, q: jnp.ndarray,
         seg_for_uniq = jnp.where(pair_seg >= 0, pair_seg, big)
         uniq = jnp.unique(seg_for_uniq, size=max_active, fill_value=big)
         slot_of = jnp.where(uniq < big, uniq, -1).astype(jnp.int32)
-        linv_buf = _factorize_cells(store, slot_of, scale)
+        linv_buf = _factorize_cells(store, slot_of, scale,
+                                    vma_axes=vma_axes)
     else:
         linv_buf, uniq = factors
         slot_of = jnp.where(uniq < big, uniq, -1).astype(jnp.int32)
@@ -350,8 +382,8 @@ def map_test(store: ClusterStore, grid: jnp.ndarray, q: jnp.ndarray,
                 jnp.zeros((3 * nq, d), q.dtype),
                 jnp.full((3 * nq,), jnp.inf, q.dtype),
                 jnp.zeros((3 * nq, d), q.dtype))
-        f_p, g_p, vf_p, vg_p = segmented.segmented_eval(plan, eval_tile,
-                                                        out0)
+        f_p, g_p, vf_p, vg_p = segmented.segmented_eval(
+            plan, eval_tile, out0, vma_axes=vma_axes)
     f3 = f_p.reshape(nq, 3)
     g3 = g_p.reshape(nq, 3, d)
     vf3 = jnp.where(top_ok, vf_p.reshape(nq, 3), jnp.inf)
@@ -415,6 +447,57 @@ def map_test(store: ClusterStore, grid: jnp.ndarray, q: jnp.ndarray,
     g_out = jnp.where(bad[:, None], 0.0, g_out)
     vg_out = jnp.where(bad[:, None], 0.0, vg_out)
     return f_out, g_out, vf_out, vg_out, n_dropped
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("grid_half", "noff", "tile", "max_cells",
+                     "max_active", "use_pallas", "mesh"))
+def map_test_sharded(store: ClusterStore, grid: jnp.ndarray,
+                     q: jnp.ndarray, cell_size, grid_half: int, noff: int,
+                     search_half, scale, val_const, grad_const, var_thre,
+                     default_var, tile: int, max_cells: int,
+                     max_active: int = 512, use_pallas: bool = False,
+                     factors=None, mesh=None):
+    """map_test with the query batch sharded over a 1-axis mesh.
+
+    shard_map (not sharding propagation) on purpose: each device plans and
+    scans its OWN tile schedule over its local query shard — the exact
+    SPMD analogue of the reference's per-thread static chunking
+    (GPisMap.cpp:765-810). Propagating a global tile plan would make every
+    device execute the full global scan with 1/N-sized steps and pay
+    cross-device gathers inside it. Store/grid/factors are replicated;
+    the forward loop has ZERO cross-device traffic (n_dropped is the one
+    psum). q.shape[0] must divide by mesh.size.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    rep = P()
+    dat = P(axis)
+
+    def local_fn(store_, grid_, q_, cell_size_, search_half_, scale_,
+                 val_const_, grad_const_, var_thre_, default_var_,
+                 factors_):
+        f, g, vf, vg, nd = map_test(
+            store_, grid_, q_, cell_size_, grid_half, noff, search_half_,
+            scale_, val_const_, grad_const_, var_thre_, default_var_,
+            tile, max_cells, max_active, use_pallas, factors_,
+            vma_axes=(axis,))
+        return f, g, vf, vg, jax.lax.psum(nd, axis)
+
+    sc = jnp.float32
+    ops = (store, grid, q, jnp.asarray(cell_size, sc),
+           jnp.asarray(search_half, sc), jnp.asarray(scale, sc),
+           jnp.asarray(val_const, sc), jnp.asarray(grad_const, sc),
+           jnp.asarray(var_thre, sc), jnp.asarray(default_var, sc),
+           factors)
+    in_specs = (jax.tree.map(lambda _: rep, store), rep, dat,
+                rep, rep, rep, rep, rep, rep, rep,
+                jax.tree.map(lambda _: rep, factors))
+    out_specs = (dat, dat, dat, dat, rep)
+    return jax.shard_map(local_fn, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs)(*ops)
 
 
 def build_grid(cell_coords: np.ndarray, slots: np.ndarray, dim: int,

@@ -61,13 +61,17 @@ def plan_tiles(seg: jnp.ndarray, n_segments: int, tile: int) -> TilePlan:
 
 
 def segmented_eval(plan: TilePlan, eval_tile, out_init,
-                   tile_chunk: int = 32):
+                   tile_chunk: int = 32, vma_axes: tuple = ()):
     """Run eval_tile over tiles, scattering tile results into out arrays.
 
     eval_tile(seg_ids [G], pair_ids [G, T]) -> pytree of [G, T, ...] results
     (G = tile_chunk tiles evaluated together; seg_ids may be -1 = skip).
     out_init: pytree of [P, ...] output arrays (pre-filled defaults).
     Returns the filled pytree.
+
+    vma_axes: when called inside shard_map (manual mode), the mesh axis
+    names — the scan carry is marked device-varying up front so the
+    lax.cond branches (skip vs compute) have matching types.
     """
     nt, tile = plan.pair_ids.shape
     pad_t = (-nt) % tile_chunk
@@ -85,6 +89,9 @@ def segmented_eval(plan: TilePlan, eval_tile, out_init,
     out_ext = jax.tree.map(
         lambda o: jnp.concatenate([o, jnp.zeros((1,) + o.shape[1:], o.dtype)]),
         out_init)
+    if vma_axes:
+        out_ext = jax.tree.map(
+            lambda o: jax.lax.pcast(o, vma_axes, to='varying'), out_ext)
 
     def compute(out, segs, pids):
         res = eval_tile(segs, pids)             # pytree [G, T, ...]

@@ -69,3 +69,115 @@ def test_sharded_map_test_matches_single():
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v8), rtol=1e-5,
                                atol=1e-5)
+
+
+def _mesh8():
+    from gpismap_tpu.parallel import data_mesh
+    return data_mesh(jax.devices()[:8])
+
+
+def test_mapper2d_sharded_matches_single():
+    """The REAL online loop (host index + sharded reeval/newmeas/retrain/
+    test) on the 8-device mesh vs single-device — same node set, fields
+    equal to f32 collective-reduction tolerance."""
+    _need_devices(8)
+    from gpismap_tpu import datasets
+    from gpismap_tpu.api import GPisMap2D
+
+    m1 = GPisMap2D()
+    m8 = GPisMap2D(mesh=_mesh8())
+    for fr in list(datasets.gazebo_frames())[:4]:
+        m1.update(fr.thetas, fr.ranges, fr.pose)
+        m8.update(fr.thetas, fr.ranges, fr.pose)
+    assert m1.num_nodes == m8.num_nodes
+
+    q = datasets.gazebo_test_grid()[0][::16]
+    r1 = m1.test(q)
+    r8 = m8.test(q)
+    np.testing.assert_allclose(r1, r8, rtol=1e-4, atol=5e-4)
+
+
+def test_mapper2d_sharded_full_sequence_golden():
+    """All 28 demo frames on the 8-device mesh vs the captured reference
+    golden — the multi-device twin of test_parity_2d_full_sequence."""
+    _need_devices(8)
+    import os
+
+    import pytest
+
+    from gpismap_tpu import datasets
+    from gpismap_tpu.api import GPisMap2D
+
+    p = os.path.join(os.path.dirname(__file__), "goldens", "golden_2d.npz")
+    if not os.path.exists(p):
+        pytest.skip("golden_2d.npz not captured")
+    g = np.load(p)
+    xtest = g["xtest"][::16]
+    ref = g["res"][::16]
+
+    m = GPisMap2D(mesh=_mesh8())
+    for fr in datasets.gazebo_frames():
+        m.update(fr.thetas, fr.ranges, fr.pose)
+    res = m.test(xtest)
+
+    mapped_ref = ref[:, 3] < 1.0
+    mapped = res[:, 3] < 1.0
+    agree = (mapped_ref == mapped).mean()
+    assert agree > 0.995, f"mapped agreement {agree}"
+    both = mapped_ref & mapped
+    df = np.abs(res[both, 0] - ref[both, 0])
+    assert np.median(df) < 2e-3, np.median(df)
+    assert np.percentile(df, 95) < 2e-2, np.percentile(df, 95)
+
+
+def test_retrain_size_buckets_exact():
+    """A small-bucket fit (mb < M) scattered into the store equals the
+    full-padding fit exactly (masked identity rows)."""
+    from gpismap_tpu.config import CapacityParam
+    from gpismap_tpu.models import cluster
+
+    rng = np.random.default_rng(3)
+    cap = CapacityParam(gp_support=16, retrain_batch=8, max_cells=32,
+                        max_nodes=256, test_tile=16, test_active_cells=16,
+                        max_beams=64)
+    b, mb = 4, 8                     # bucket size < store capacity 16
+    x = rng.uniform(-1, 1, (b, cap.gp_support, 2)).astype(np.float32)
+    g = rng.normal(size=(b, cap.gp_support, 2)).astype(np.float32)
+    g /= np.linalg.norm(g, axis=-1, keepdims=True)
+    val = np.full((b, cap.gp_support), -0.2, np.float32)
+    ps = np.full((b, cap.gp_support), 0.05, np.float32)
+    gs = np.full((b, cap.gp_support), 0.05, np.float32)
+    valid = np.zeros((b, cap.gp_support), bool)
+    valid[:, :6] = True              # all cells fit in the small bucket
+    x[~valid] = 0.0
+
+    slots = jnp.arange(b, dtype=jnp.int32)
+    ok = jnp.ones(b, bool)
+    s_full = cluster.retrain_cells(
+        cluster.make_store(cap, 2), slots, ok, jnp.asarray(x),
+        jnp.asarray(g), jnp.asarray(val), jnp.asarray(ps), jnp.asarray(gs),
+        jnp.asarray(valid), 1.2)
+    s_bkt = cluster.retrain_cells(
+        cluster.make_store(cap, 2), slots, ok, jnp.asarray(x[:, :mb]),
+        jnp.asarray(g[:, :mb]), jnp.asarray(val[:, :mb]),
+        jnp.asarray(ps[:, :mb]), jnp.asarray(gs[:, :mb]),
+        jnp.asarray(valid[:, :mb]), 1.2)
+    np.testing.assert_allclose(np.asarray(s_full.alpha),
+                               np.asarray(s_bkt.alpha), rtol=1e-6,
+                               atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(s_full.valid),
+                                  np.asarray(s_bkt.valid))
+
+
+def test_multihost_helpers():
+    """multihost.initialize is a no-op single-process; global_query_array
+    assembles a sharded global batch from process-local data."""
+    _need_devices(8)
+    from gpismap_tpu.parallel import multihost
+
+    multihost.initialize()           # single process: must not raise
+    mesh = _mesh8()
+    local = np.arange(64, dtype=np.float32).reshape(32, 2)
+    arr = multihost.global_query_array(mesh, local)
+    assert arr.shape == (32, 2)      # single process: local == global
+    np.testing.assert_allclose(np.asarray(arr), local)
