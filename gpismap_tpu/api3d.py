@@ -40,6 +40,7 @@ class GPisMap3D(_MeshMixin):
                  camera: Optional[CameraParam] = None,
                  compat_reloc: bool = True,
                  strict_reeval: bool = True,
+                 reeval_mode: Optional[str] = None,
                  mesh=None):
         self.p = params
         self.op = obs_param
@@ -48,11 +49,23 @@ class GPisMap3D(_MeshMixin):
         self.dim = 3
         self.cam = camera or CameraParam()
         self.compat_reloc = compat_reloc
-        # per-cluster sequential re-evaluation (see GPisMap2D); in 3D the
-        # relocation step is comparable to the 0.05 m cluster size, so
-        # nodes cross cell boundaries often enough that snapshot batching
-        # visibly shifts the node set — strict order is the default
-        self.strict_reeval = strict_reeval
+        # Re-evaluation scheduling. In 3D the relocation step is comparable
+        # to the 0.05 m cluster size, so nodes cross cell boundaries often
+        # enough that snapshot batching visibly shifts the node set —
+        # strict per-cell order matters. Modes:
+        #   'fused'   (default) — strict per-cell order executed as ONE
+        #             device program (mapper3d.reeval_scan_3d); tree
+        #             mutations applied on host at frame end.
+        #   'strict'  — exact host replay: one dispatch per kept cell,
+        #             interleaved tree mutation (the bit-exact parity mode).
+        #   'snapshot'— single-batch re-evaluation of a start-of-frame
+        #             snapshot (the 2D default; fastest, loosest).
+        if reeval_mode is None:
+            reeval_mode = "fused" if strict_reeval else "snapshot"
+        if reeval_mode not in ("strict", "fused", "snapshot"):
+            raise ValueError(f"unknown reeval_mode {reeval_mode!r}")
+        self.reeval_mode = reeval_mode
+        self.strict_reeval = reeval_mode != "snapshot"
         self._init_mesh(mesh)
         self.index = SpatialIndex(self.dim, tree, max_slots=cap.max_cells)
         self.store = self._dev(cluster.make_store(cap, self.dim))
@@ -104,6 +117,8 @@ class GPisMap3D(_MeshMixin):
     def update(self, depth: np.ndarray, pose: np.ndarray) -> None:
         """Ingest one depth frame (GPisMap3::update, GPisMap3.cpp:218-237).
         """
+        import time as _time
+        _t0 = _time.time()
         depth = np.asarray(depth, np.float32)
         pose = np.asarray(pose, np.float32).reshape(-1)
         tr = pose[:3]
@@ -114,12 +129,15 @@ class GPisMap3D(_MeshMixin):
         prep, obs, nm = mapper3d.frame_compute_3d(
             self._dev(depth), self._dev(tr), self._dev(rot), self.cam,
             self.p, self.op)
-        if int(jnp.sum(prep.valid)) <= 1:
+        # ONE blocking pull for everything update() needs on host (the
+        # remote-TPU round trip is ~110 ms; see CLAUDE.md)
+        nv, rmax, nm = jax.device_get(
+            (jnp.sum(prep.valid), prep.range_obs_max, nm))
+        if int(nv) <= 1:
             return
 
-        self._update_map_points(obs, prep, tr, rot)
+        self._update_map_points(obs, float(rmax), tr, rot)
 
-        nm = jax.device_get(nm)
         ok = np.asarray(nm.insert_ok)
         if ok.any():
             cand = np.asarray(nm.pos)[ok]
@@ -132,14 +150,20 @@ class GPisMap3D(_MeshMixin):
                     np.asarray(nm.grad)[ok][ins],
                     np.asarray(nm.grad_noise)[ok][ins])
 
+        _t1 = _time.time()
         self._update_gps()
+        self.stats.update(
+            frame=self.frame, n_nodes=self.index.num_nodes,
+            n_cluster_cells=int(self.index.max_slot),
+            support_overflow=int(self.index.overflow_count),
+            update_s=round(_time.time() - _t0, 4),
+            retrain_s=round(_time.time() - _t1, 4))
         self.frame += 1
 
     # ------------------------------------------------------------------
-    def _update_map_points(self, obs, prep, tr, rot):
+    def _update_map_points(self, obs, rmax: float, tr, rot):
         if self.index.num_nodes == 0:
             return
-        rmax = float(prep.range_obs_max)
         cells, _ = self.index.query_cluster_cells(tr, rmax, cap=65536)
         if len(cells) == 0:
             return
@@ -167,14 +191,61 @@ class GPisMap3D(_MeshMixin):
         keep &= within
         if not keep.any():
             return
-        if self.strict_reeval:
+        if self.reeval_mode == "strict":
             for c in cells[keep]:
                 self._reeval_apply(obs, self.index.cell_nodes(c), tr, rot)
+        elif self.reeval_mode == "fused":
+            self._reeval_fused(obs, cells[keep], tr, rot)
         else:
             node_ids = [self.index.cell_nodes(c) for c in cells[keep]]
             node_ids = np.concatenate(node_ids) if node_ids else np.zeros(
                 0, np.int32)
             self._reeval_apply(obs, node_ids, tr, rot)
+
+    def _reeval_fused(self, obs, kept, tr, rot):
+        """Strict per-cell re-evaluation in ONE device dispatch
+        (mapper3d.reeval_scan_3d); host applies the final per-node actions
+        once at frame end."""
+        lists = [self.index.cell_nodes(c) for c in kept]
+        node_ids = (np.concatenate(lists) if lists
+                    else np.zeros(0, np.int32))
+        n = len(node_ids)
+        if n == 0:
+            return
+        # static member bound per scan step: largest start-of-frame cell
+        # plus 2x headroom for mid-frame boundary crossers
+        kc = min(_next_pow2(2 * max(len(li) for li in lists)),
+                 _next_pow2(n))
+        k = _next_pow2(n)
+        sel = np.full(k, -1, np.int32)
+        sel[:n] = node_ids
+        d = self.index.get_nodes(sel)
+        valid = np.zeros(k, bool)
+        valid[:n] = True
+        centers, _, _ = self.index.cell_info(kept)
+        coords = np.floor(centers / self.cell_size).astype(np.int32)
+        cpad = _next_pow2(len(kept), lo=8)
+        cc = np.zeros((cpad, 3), np.int32)
+        cc[:len(kept)] = coords
+        cok = np.zeros(cpad, bool)
+        cok[:len(kept)] = True
+
+        rv, drop = mapper3d.reeval_scan_3d(
+            obs, self._dev(d["pos"]), self._dev(d["grad"]),
+            self._dev(d["pos_sig"]), self._dev(d["grad_sig"]),
+            self._dev(valid), self._dev(cc), self._dev(cok),
+            self._dev(tr), self._dev(rot),
+            jnp.float32(self.cell_size), self.p, self.op,
+            compat=self.compat_reloc, kc=kc)
+        rv, drop = jax.device_get((rv, drop))    # ONE host pull
+        if int(drop):
+            self.stats["reeval_dropped"] = (
+                self.stats.get("reeval_dropped", 0) + int(drop))
+        self.index.apply_reeval(
+            node_ids, np.asarray(rv.action)[:n], np.asarray(rv.pos)[:n],
+            np.asarray(rv.grad)[:n], np.asarray(rv.noise)[:n],
+            np.asarray(rv.grad_noise)[:n], np.asarray(rv.dbl_pos_sig)[:n],
+            np.asarray(rv.dbl_grad_sig)[:n], -self.p.fbias)
 
     def _reeval_apply(self, obs, node_ids, tr, rot):
         if len(node_ids) == 0:

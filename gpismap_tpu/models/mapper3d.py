@@ -117,6 +117,16 @@ def reeval_3d(obs: obsgp.ObsGP2DState, pos: jnp.ndarray, grad: jnp.ndarray,
               mp: MapperParam, op: ObsGPParam, chunk: int = 1024,
               compat: bool = True) -> Reeval3D:
     """Batched reEvalPoints (GPisMap3.cpp:321-569)."""
+    return _reeval_core(obs, pos, grad, pos_sig, grad_sig, valid, tr, rot,
+                        mp, op, chunk, compat)
+
+
+def _reeval_core(obs: obsgp.ObsGP2DState, pos: jnp.ndarray,
+                 grad: jnp.ndarray, pos_sig: jnp.ndarray,
+                 grad_sig: jnp.ndarray, valid: jnp.ndarray, tr: jnp.ndarray,
+                 rot: jnp.ndarray, mp: MapperParam, op: ObsGPParam,
+                 chunk: int, compat: bool) -> Reeval3D:
+    """reEvalPoints math for one node batch (trace-level; see reeval_3d)."""
     k = pos.shape[0]
 
     def obs_at_vu(vu_flat):
@@ -240,6 +250,86 @@ def reeval_3d(obs: obsgp.ObsGP2DState, pos: jnp.ndarray, grad: jnp.ndarray,
     return Reeval3D(action=action, pos=pos_out, grad=grad_out,
                     noise=noise_out, grad_noise=gnoise_out,
                     dbl_pos_sig=2.0 * pos_sig, dbl_grad_sig=2.0 * grad_sig)
+
+
+@functools.partial(jax.jit, static_argnames=("mp", "op", "chunk", "compat",
+                                             "kc"))
+def reeval_scan_3d(obs: obsgp.ObsGP2DState, pos: jnp.ndarray,
+                   grad: jnp.ndarray, pos_sig: jnp.ndarray,
+                   grad_sig: jnp.ndarray, valid: jnp.ndarray,
+                   cell_coords: jnp.ndarray, cell_ok: jnp.ndarray,
+                   tr: jnp.ndarray, rot: jnp.ndarray, cell_size,
+                   mp: MapperParam, op: ObsGPParam, chunk: int = 4096,
+                   compat: bool = True, kc: int = 512):
+    """Fused strict re-evaluation: ONE device program scanning the kept
+    cluster cells in reference order (the outer per-cell loop of
+    reEvalPoints, GPisMap3.cpp:321-569, which the host replay pays ~26
+    blocking dispatches per frame for).
+
+    Strict semantics hold on device: each cell's member set is recomputed
+    from the CURRENT node positions (floor(pos/cell_size) == cell integer
+    coords — the alignment invariant cluster cells already satisfy, see
+    api3d._rebuild_grid), so a node relocated by an earlier cell into a
+    later kept cell is re-evaluated there, exactly like the reference's
+    gather-at-processing-time loop. The one divergence from the per-cell
+    host replay: in-frame insertion dedup (quadtree.cpp:325-348) is only
+    resolved by the host apply at frame end, so a mid-frame relocation
+    collision survives until then.
+
+    pos/grad [K, 3], pos_sig/grad_sig/valid [K]; cell_coords [C, 3] int32
+    in processing order with cell_ok [C] marking real cells. Each step
+    compacts members to a static bound kc (next-pow2 of the largest start
+    cell plus headroom; overflow counted, not silently lost).
+
+    Returns (Reeval3D with FINAL per-node composite actions/values,
+    n_dropped). Composite action: removed anywhere -> 2; relocated (and
+    possibly later doubled) -> 3 with the final table values; noise
+    doubled only -> 1; untouched -> 0. The host applies each node once
+    (runtime/index.apply_reeval), reproducing the sequential tree state.
+    """
+    k = pos.shape[0]
+
+    def step(carry, cell):
+        coords, ok = cell
+        p, g, ps, gs, alv, moved, dbl, drop = carry
+        kcell = jnp.floor(p / cell_size).astype(jnp.int32)
+        member = alv & ok & jnp.all(kcell == coords[None, :], axis=-1)
+        drop = drop + jnp.maximum(jnp.sum(member) - kc, 0).astype(jnp.int32)
+        idx = jnp.nonzero(member, size=kc, fill_value=k)[0]
+        got = idx < k
+        ic = jnp.clip(idx, 0, k - 1)
+        rv = _reeval_core(obs, p[ic], g[ic], ps[ic], gs[ic], got, tr, rot,
+                          mp, op, chunk, compat)
+        a = jnp.where(got, rv.action, 0)
+        new_p = jnp.where((a == 3)[:, None], rv.pos, p[ic])
+        new_g = jnp.where((a == 3)[:, None], rv.grad, g[ic])
+        new_ps = jnp.where(a == 1, rv.dbl_pos_sig,
+                           jnp.where(a == 3, rv.noise, ps[ic]))
+        new_gs = jnp.where(a == 1, rv.dbl_grad_sig,
+                           jnp.where(a == 3, rv.grad_noise, gs[ic]))
+
+        def scat(old, new):
+            ext = jnp.concatenate(
+                [old, jnp.zeros((1,) + old.shape[1:], old.dtype)])
+            return ext.at[idx].set(new, mode='drop')[:-1]
+
+        carry = (scat(p, new_p), scat(g, new_g), scat(ps, new_ps),
+                 scat(gs, new_gs), scat(alv, a != 2),
+                 scat(moved, moved[ic] | (a == 3)),
+                 scat(dbl, dbl[ic] | (a == 1)), drop)
+        return carry, None
+
+    init = (pos, grad, pos_sig, grad_sig, valid,
+            jnp.zeros((k,), bool), jnp.zeros((k,), bool),
+            jnp.zeros((), jnp.int32))
+    (p, g, ps, gs, alv, moved, dbl, drop), _ = jax.lax.scan(
+        step, init, (cell_coords, cell_ok))
+    removed = valid & ~alv
+    action = jnp.where(removed, 2,
+                       jnp.where(moved, 3,
+                                 jnp.where(dbl, 1, 0))).astype(jnp.int32)
+    return Reeval3D(action=action, pos=p, grad=g, noise=ps, grad_noise=gs,
+                    dbl_pos_sig=ps, dbl_grad_sig=gs), drop
 
 
 class NewMeas3D(NamedTuple):

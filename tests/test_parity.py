@@ -83,6 +83,48 @@ def test_parity_2d_full_sequence():
 
 
 @pytest.mark.slow
+def test_parity_3d_fused_reeval_four_frames():
+    """The default 'fused' re-evaluation (one lax.scan dispatch per frame,
+    mapper3d.reeval_scan_3d) must track the reference golden over frames
+    with real per-cell re-evaluation traffic. Its only permitted deviation
+    from the exact host replay is in-frame insertion dedup (see
+    reeval_scan_3d docstring), so the node count may differ by a few."""
+    from gpismap_tpu import datasets
+    from gpismap_tpu.api3d import GPisMap3D
+
+    g = _need("golden_3d_f4.npz")
+    xtest = g["xtest"][::16]
+    ref = g["res"][::16]
+
+    m = GPisMap3D()
+    assert m.reeval_mode == "fused"
+    for fr in list(datasets.bigbird_frames())[:4]:
+        m.set_camera(fr.cam_id, "bigbird")
+        m.update(fr.depth, fr.pose)
+
+    if "nodes" in g:
+        nodes_ref = g["nodes"]
+        ours = m.get_all_points()
+        assert abs(len(ours) - len(nodes_ref)) <= max(
+            3, len(nodes_ref) // 100)
+
+    res = m.test(xtest)
+    mapped_ref = ref[:, 4] < 1.0
+    mapped = res[:, 4] < 1.0
+    agree = (mapped_ref == mapped).mean()
+    # the 4-frame mark is the noisiest point of the sequence: the strict
+    # host replay itself measures 99.50 % here (PARITY.md); the full
+    # 40-frame run converges to 99.99 %
+    assert agree > 0.99, f"mapped agreement {agree}"
+    both = mapped_ref & mapped
+    df = np.abs(res[both, 0] - ref[both, 0])
+    dg = np.abs(res[both, 1:4] - ref[both, 1:4])
+    assert np.median(df) < 5e-3, np.median(df)
+    assert np.median(dg) < 0.1, np.median(dg)
+    assert np.percentile(df, 95) < 5e-2
+
+
+@pytest.mark.slow
 def test_parity_3d_one_frame():
     from gpismap_tpu import datasets
     from gpismap_tpu.api3d import GPisMap3D
