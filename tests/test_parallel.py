@@ -20,11 +20,11 @@ def test_dryrun_update_step_8dev():
     assert np.isfinite(np.asarray(stats)).all()
 
 
-def test_sharded_map_test_matches_single():
-    _need_devices(8)
+def _circle_map():
+    """Unit-circle cluster-GP map (store, grid, map_test kwargs) shared by
+    the sharded-vs-single tests."""
     from gpismap_tpu.config import CapacityParam, TREE_2D
     from gpismap_tpu.models import cluster
-    from gpismap_tpu.parallel import data_mesh, sharded_map_test
     from gpismap_tpu.runtime import SpatialIndex
 
     cap = CapacityParam(gp_support=16, retrain_batch=8, max_cells=64,
@@ -53,13 +53,21 @@ def test_sharded_map_test_matches_single():
     centers, _, slots = idx.cell_info(cells)
     grid = cluster.build_grid(np.floor(centers / 1.6).astype(np.int64),
                               slots, 2, 128)
-
-    q = np.asarray(np.random.default_rng(0).uniform(-2, 2, (64, 2)),
-                   np.float32)
     kw = dict(cell_size=1.6, grid_half=128, noff=4, search_half=4.8,
               scale=1.2, val_const=1.01, grad_const=3.0 / 1.44 + 0.1,
               var_thre=0.4, default_var=1.01, tile=cap.test_tile,
               max_cells=cap.max_cells, max_active=cap.test_active_cells)
+    return store, grid, kw
+
+
+def test_sharded_map_test_matches_single():
+    _need_devices(8)
+    from gpismap_tpu.models import cluster
+    from gpismap_tpu.parallel import data_mesh, sharded_map_test
+
+    store, grid, kw = _circle_map()
+    q = np.asarray(np.random.default_rng(0).uniform(-2, 2, (64, 2)),
+                   np.float32)
 
     f1, g1, v1, _, _ = cluster.map_test(store, grid, jnp.asarray(q), **kw)
     mesh = data_mesh(jax.devices()[:8])
@@ -128,6 +136,53 @@ def test_mapper2d_sharded_full_sequence_golden():
     df = np.abs(res[both, 0] - ref[both, 0])
     assert np.median(df) < 2e-3, np.median(df)
     assert np.percentile(df, 95) < 2e-2, np.percentile(df, 95)
+
+
+def test_sharded_render_matches_single():
+    """sphere_trace with the ray batch sharded over the 8-device mesh
+    equals the single-device render (the north star's 'rays/s scaling'
+    path; store/grid/factors replicated, rays data-parallel)."""
+    _need_devices(8)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from gpismap_tpu import render
+    from gpismap_tpu.parallel import data_mesh
+
+    store, grid, kw = _circle_map()
+    cfg = render.RenderConfig(
+        cell_size=kw["cell_size"], grid_half=kw["grid_half"],
+        noff=kw["noff"], search_half=kw["search_half"], scale=kw["scale"],
+        val_const=kw["val_const"], grad_const=kw["grad_const"],
+        var_thre=kw["var_thre"], default_var=kw["default_var"],
+        tile=kw["tile"], max_cells=kw["max_cells"],
+        max_active=kw["max_active"], fbias=0.2, n_steps=24, t_max=6.0)
+
+    ang = np.linspace(0, 2 * np.pi, 64, endpoint=False)
+    o = 3.0 * np.stack([np.cos(ang), np.sin(ang)], -1).astype(np.float32)
+    d = -o / np.linalg.norm(o, axis=1, keepdims=True)
+
+    r1 = render.sphere_trace(store, grid, jnp.asarray(o), jnp.asarray(d),
+                             cfg)
+    # rays from radius 3 inward hit the unit circle at t ~ 2
+    hit1 = np.asarray(r1["hit"])
+    assert hit1.mean() > 0.9
+    np.testing.assert_allclose(np.asarray(r1["t"])[hit1], 2.0, atol=0.05)
+
+    mesh = data_mesh(jax.devices()[:8])
+    axis = mesh.axis_names[0]
+    sh = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+    r8 = render.sphere_trace(
+        jax.device_put(store, rep), jax.device_put(grid, rep),
+        jax.device_put(jnp.asarray(o), sh), jax.device_put(jnp.asarray(d),
+                                                           sh), cfg)
+    np.testing.assert_allclose(np.asarray(r1["t"]), np.asarray(r8["t"]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(r1["hit"]),
+                                  np.asarray(r8["hit"]))
+    np.testing.assert_allclose(np.asarray(r1["normal"]),
+                               np.asarray(r8["normal"]), rtol=1e-4,
+                               atol=1e-4)
 
 
 def test_retrain_size_buckets_exact():

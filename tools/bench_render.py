@@ -1,0 +1,119 @@
+#!/usr/bin/env python3
+"""Render benchmark: rays/s/chip for sphere-traced rendering on the 3D map.
+
+Measures the BASELINE.json north-star render path (render.py:sphere_trace):
+  * forward: depth + normal + variance per ray
+  * forward+backward: same plus gradients of summed hit depth w.r.t. the
+    cluster-GP store alphas AND the kernel length scale (the
+    hyperparameter path, covFnc.cpp:29-33)
+
+The reference has no ray tracer (its only rendering is dense-grid
+evaluation + isosurface, matlab/visualize_gpisMap3.m), so there is no
+reference floor; the number stands on its own in BASELINE.md.
+
+Usage: python tools/bench_render.py [--frames N] [--sub K] [--cpu]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+sys.path.insert(0, REPO)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=12)
+    ap.add_argument("--sub", type=int, default=2,
+                    help="camera-ray subsample (2 -> 320x240 = 76.8k rays)")
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/gpismap_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from gpismap_tpu import datasets, render
+    from gpismap_tpu.api3d import GPisMap3D
+
+    m = GPisMap3D()
+    frames = list(datasets.bigbird_frames())[:args.frames]
+    for i, fr in enumerate(frames):
+        m.set_camera(fr.cam_id, "bigbird")
+        m.update(fr.depth, fr.pose)
+        print(f"# frame {i}: nodes={m.num_nodes} "
+              f"update={m.stats.get('update_s')}s", file=sys.stderr,
+              flush=True)
+
+    fr = frames[-1]
+    pose = np.asarray(fr.pose, np.float32).reshape(-1)
+    tr, rot = pose[:3], pose[3:12].reshape(3, 3, order="F")
+    o, d, shape = render.camera_rays(tr, rot, m.cam, subsample=args.sub)
+    n_rays = len(o)
+    cfg = render.config_from_mapper(m)
+    factors = m._get_factors()
+    o_d, d_d = jax.device_put((jnp.asarray(o), jnp.asarray(d)))
+
+    # ---- forward ----
+    out = render.sphere_trace(m.store, m.grid, o_d, d_d, cfg, factors)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(args.reps):
+        out = render.sphere_trace(m.store, m.grid, o_d, d_d, cfg, factors)
+    jax.block_until_ready(out)
+    fwd_s = (time.time() - t0) / args.reps
+    fwd_rps = n_rays / fwd_s
+    hit_frac = float(np.asarray(out["hit"]).mean())
+
+    # ---- forward + backward (store alphas + kernel scale) ----
+    @jax.jit
+    def loss(alpha, scale, o_, d_):
+        hyper = render.hyper_from_scale(scale, 3)
+        st = m.store._replace(alpha=alpha)
+        out = render.sphere_trace(st, m.grid, o_, d_, cfg, factors, hyper)
+        return jnp.sum(jnp.where(out["hit"], out["t"], 0.0))
+
+    gfun = jax.jit(jax.grad(loss, argnums=(0, 1)))
+    sc = jnp.asarray(m.p.map_scale_param, jnp.float32)
+    g = gfun(m.store.alpha, sc, o_d, d_d)
+    jax.block_until_ready(g)
+    t0 = time.time()
+    for _ in range(args.reps):
+        g = gfun(m.store.alpha, sc, o_d, d_d)
+    jax.block_until_ready(g)
+    bwd_s = (time.time() - t0) / args.reps
+    bwd_rps = n_rays / bwd_s
+    dscale = float(g[1])
+
+    out = {
+        "metric": "render_rays_per_s_per_chip",
+        "value": round(fwd_rps, 1),
+        "unit": "rays/s",
+        "vs_baseline": None,     # reference has no ray tracer
+        "extra": {
+            "n_rays": n_rays,
+            "image": list(shape),
+            "n_steps": cfg.n_steps,
+            "hit_fraction": round(hit_frac, 4),
+            "forward_s": round(fwd_s, 4),
+            "forward_backward_rays_per_s": round(bwd_rps, 1),
+            "forward_backward_s": round(bwd_s, 4),
+            "grad_wrt_scale": dscale,
+            "n_frames": len(frames),
+            "n_nodes": int(m.num_nodes),
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
