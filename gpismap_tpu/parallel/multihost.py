@@ -39,3 +39,34 @@ def global_query_array(mesh, local_queries):
 
     sharding = NamedSharding(mesh, P(mesh.axis_names[0]))
     return jax.make_array_from_process_local_data(sharding, local_queries)
+
+
+def global_data_mesh(axis: str = "d"):
+    """One-axis mesh over ALL processes' devices (call after initialize)."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    return Mesh(np.asarray(jax.devices()), (axis,))
+
+
+def replicate(mesh, tree):
+    """Replicate a host pytree (e.g. the ClusterStore + grid) across every
+    process's devices. All processes must pass identical values — true by
+    construction here: the host tree replay is deterministic, so every
+    controller materialises the same store (module docstring)."""
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rep = NamedSharding(mesh, P())
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(rep, np.asarray(x)),
+        tree)
+
+
+def local_rows(global_array):
+    """This process's rows of a data-sharded global array, in order."""
+    import numpy as np
+
+    shards = sorted(global_array.addressable_shards,
+                    key=lambda s: s.index[0].start or 0)
+    return np.concatenate([np.asarray(s.data) for s in shards])

@@ -1,0 +1,92 @@
+"""REAL multi-process execution of the sharded query path (§5.8).
+
+Spawns two OS processes, each owning 4 virtual CPU devices, brought up
+with jax.distributed (Gloo collectives). Both controllers build the same
+cluster-GP map, assemble a global query batch from process-local rows
+(multihost.global_query_array), and run the actual
+cluster.map_test_sharded over the 2-process/8-device mesh — including its
+cross-process psum. Each process checks its local output rows against a
+locally-computed single-device reference.
+
+This is the executable form of the multihost.py recipe; a real pod slice
+only swaps the CPU virtual devices for TPU chips.
+"""
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+_WORKER = r"""
+import os, sys
+pid = int(sys.argv[1]); port = sys.argv[2]
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+import jax.numpy as jnp
+from gpismap_tpu.parallel import multihost
+
+multihost.initialize(coordinator_address=f"127.0.0.1:{port}",
+                     num_processes=2, process_id=pid)
+assert jax.process_count() == 2, jax.process_count()
+assert len(jax.devices()) == 8, len(jax.devices())
+mesh = multihost.global_data_mesh()
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from test_parallel import _circle_map
+from gpismap_tpu.models import cluster
+
+store, grid, kw = _circle_map()
+
+rng = np.random.default_rng(0)
+q = np.asarray(rng.uniform(-2, 2, (64, 2)), np.float32)
+local_q = q[pid * 32:(pid + 1) * 32]          # this process's rows
+
+g_store, g_grid = multihost.replicate(mesh, (store, grid))
+g_q = multihost.global_query_array(mesh, local_q)
+
+f8, _, v8, _, _ = cluster.map_test_sharded(g_store, g_grid, g_q,
+                                           mesh=mesh, **kw)
+f_loc = multihost.local_rows(f8)
+v_loc = multihost.local_rows(v8)
+
+# single-device reference, computed independently on this controller
+f1, _, v1, _, _ = cluster.map_test(store, grid, jnp.asarray(q), **kw)
+f1 = np.asarray(f1)[pid * 32:(pid + 1) * 32]
+v1 = np.asarray(v1)[pid * 32:(pid + 1) * 32]
+np.testing.assert_allclose(f_loc, f1, rtol=1e-5, atol=1e-5)
+np.testing.assert_allclose(v_loc, v1, rtol=1e-5, atol=1e-5)
+print(f"MULTIHOST_OK pid={pid}", flush=True)
+"""
+
+
+def test_two_process_sharded_query():
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tests = os.path.join(repo, "tests")
+    worker = os.path.join(tests, "_multihost_worker.py")
+    with open(worker, "w") as fh:
+        fh.write(_WORKER)
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = str(s.getsockname()[1])
+
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["PYTHONPATH"] = repo
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(pid), port], cwd=tests,
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True) for pid in (0, 1)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=300)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("multihost workers timed out:\n" + "\n".join(outs))
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out}"
+        assert f"MULTIHOST_OK pid={pid}" in out, out
