@@ -213,8 +213,11 @@ class GPisMap3D(_MeshMixin):
         if n == 0:
             return
         # static member bound per scan step: largest start-of-frame cell
-        # plus 2x headroom for mid-frame boundary crossers
-        kc = min(_next_pow2(2 * max(len(li) for li in lists)),
+        # plus 2x headroom for mid-frame boundary crossers. Clamped to a
+        # 512 floor so the (k, kc) compile key stays stable across frames
+        # (remote TPU compiles are minutes each; CLAUDE.md) — overflow is
+        # counted, never silent.
+        kc = min(max(_next_pow2(2 * max(len(li) for li in lists)), 512),
                  _next_pow2(n))
         k = _next_pow2(n)
         sel = np.full(k, -1, np.int32)
