@@ -55,9 +55,13 @@ def main():
         dt = (time.time() - t0) / reps
     qps = len(xtest) / dt
 
-    # steady-state update rate (skip the compile-heavy first frames)
+    # steady-state update rate: median frame time. A handful of frames pay
+    # one-time XLA compiles when a new capacity bucket first appears
+    # (minutes over the tunnel, cached persistently afterwards); the
+    # median is the production per-frame cost, the mean is reported too.
     upd = np.asarray(t_upd[4:]) if len(t_upd) > 8 else np.asarray(t_upd)
-    fps = 1.0 / max(np.mean(upd), 1e-9)
+    fps = 1.0 / max(float(np.median(upd)), 1e-9)
+    fps_mean = 1.0 / max(float(np.mean(upd)), 1e-9)
 
     out = {
         "metric": "2d_sdf_grad_queries_per_s_per_chip",
@@ -66,6 +70,7 @@ def main():
         "vs_baseline": round(qps / REF_QPS, 3),
         "extra": {
             "update_frames_per_s": round(fps, 2),
+            "update_fps_incl_compiles": round(fps_mean, 2),
             "ref_update_frames_per_s": round(1.0 / 0.009, 1),
             "n_frames": len(frames),
             "n_nodes": int(m.num_nodes),

@@ -136,7 +136,7 @@ def _factorize_cells(store: ClusterStore, slots: jnp.ndarray, scale,
     persistent store keeps no factors; see ClusterStore). slots may
     contain out-of-range fill entries — they produce identity factors.
     """
-    from ..ops.gp import linv_from_chol, ongpis_prepare
+    from ..ops.gp import _chol, linv_from_chol, ongpis_prepare
 
     s = slots.shape[0]
     pad = (-s) % chunk
@@ -153,7 +153,7 @@ def _factorize_cells(store: ClusterStore, slots: jnp.ndarray, scale,
                                         store.siggrad[sc], vl)
         k = kernels.matern32_deriv_train_cov(xs, sigx, store.siggrad[sc],
                                              gradflag, vl, scale)
-        return linv_from_chol(jnp.linalg.cholesky(k))
+        return linv_from_chol(_chol(k))
 
     def one(slc):
         def idem(_):

@@ -21,7 +21,28 @@ from jax.lax.linalg import triangular_solve
 from . import kernels
 
 
+def _use_pallas_chol(mp: int) -> bool:
+    """Route factorizations through the Pallas kernels (ops/pallas_chol.py)
+    when the shape is MXU-blockable. XLA's batched Cholesky runs the
+    recursion through HBM at <1% of peak at the cluster-GP shapes
+    (tools/fit_breakdown.py); the VMEM-resident blocked kernel is ~10x.
+    GPISMAP_PALLAS_CHOL=0 forces XLA (the bit-for-bit round-1 numerics),
+    =1 forces Pallas everywhere (interpret off-TPU), default: TPU only."""
+    import os
+    v = os.environ.get("GPISMAP_PALLAS_CHOL", "auto")
+    if v in ("0", "off"):
+        return False
+    if mp % 128 or mp == 0:
+        return False
+    if v in ("1", "on"):
+        return True
+    return jax.default_backend() == "tpu"
+
+
 def _chol(k: jnp.ndarray) -> jnp.ndarray:
+    if k.ndim == 3 and _use_pallas_chol(k.shape[-1]):
+        from .pallas_chol import chol_pallas
+        return chol_pallas(k, interpret=jax.default_backend() != "tpu")
     return jnp.linalg.cholesky(k)
 
 
@@ -84,6 +105,9 @@ def linv_from_chol(l: jnp.ndarray) -> jnp.ndarray:
     (better conditioned than k^T K^-1 k with an explicit K^-1).
     """
     m = l.shape[-1]
+    if l.ndim == 3 and _use_pallas_chol(m):
+        from .pallas_chol import linv_pallas
+        return linv_pallas(l, interpret=jax.default_backend() != "tpu")
     eye = jnp.broadcast_to(jnp.eye(m, dtype=l.dtype), l.shape)
     return triangular_solve(l, eye, left_side=True, lower=True)
 

@@ -116,3 +116,75 @@ def test_non_pallas_errors_propagate(monkeypatch):
     with pytest.raises(TypeError):
         m.test(np.asarray([[3.0, 0.0]], np.float32))
 
+
+
+def _spd_batch(rng, b, mp):
+    a = rng.normal(size=(b, mp, mp)).astype(np.float32) / np.sqrt(mp)
+    k = a @ np.swapaxes(a, -1, -2) + 2.0 * np.eye(mp, dtype=np.float32)
+    return jnp.asarray(k)
+
+
+def test_pallas_chol_matches_xla():
+    """Blocked Pallas Cholesky == XLA (interpret mode), incl. identity-
+    masked rows as produced by the masked kernel builders."""
+    from gpismap_tpu.ops.pallas_chol import chol_pallas
+
+    rng = np.random.default_rng(1)
+    k = _spd_batch(rng, 4, 384)
+    # identity-mask a few rows/cols the way ops/kernels.py pads
+    kn = np.array(k)
+    for b, i in [(0, 5), (0, 380), (2, 100)]:
+        kn[b, i, :] = 0.0
+        kn[b, :, i] = 0.0
+        kn[b, i, i] = 1.0
+    k = jnp.asarray(kn)
+
+    l_ref = np.asarray(jnp.linalg.cholesky(k))
+    l_pl = np.asarray(chol_pallas(k, interpret=True))
+    np.testing.assert_allclose(l_pl, l_ref, rtol=2e-4, atol=2e-4)
+    # strict upper must be exact zeros
+    iu = np.triu_indices(384, k=1)
+    assert (l_pl[:, iu[0], iu[1]] == 0).all()
+
+
+def test_pallas_linv_matches_xla():
+    from gpismap_tpu.ops.gp import linv_from_chol
+    from gpismap_tpu.ops.pallas_chol import linv_pallas
+
+    rng = np.random.default_rng(2)
+    k = _spd_batch(rng, 2, 256)
+    l = jnp.linalg.cholesky(k)
+    w_ref = np.asarray(
+        jax.lax.linalg.triangular_solve(
+            l, jnp.broadcast_to(jnp.eye(256, dtype=l.dtype), l.shape),
+            left_side=True, lower=True))
+    w_pl = np.asarray(linv_pallas(l, interpret=True))
+    np.testing.assert_allclose(w_pl, w_ref, rtol=2e-4, atol=2e-4)
+
+
+def test_pallas_chol_env_switch_fit_equivalence(monkeypatch):
+    """fit_ongpis through the Pallas factor path == the XLA path on a real
+    masked cluster-GP system (GPISMAP_PALLAS_CHOL=1 in interpret mode)."""
+    from gpismap_tpu.ops import gp
+
+    rng = np.random.default_rng(3)
+    b, m, d = 2, 128, 2            # MP = 384: the production 2D shape
+    x = rng.uniform(-1, 1, (b, m, d)).astype(np.float32)
+    g = rng.normal(size=(b, m, d)).astype(np.float32)
+    g /= np.linalg.norm(g, axis=-1, keepdims=True)
+    val = np.full((b, m), -0.2, np.float32)
+    sig = np.full((b, m), 0.05, np.float32)
+    valid = rng.uniform(size=(b, m)) > 0.3
+
+    def fit():
+        st = gp.fit_ongpis(jnp.asarray(x), jnp.asarray(g), jnp.asarray(val),
+                           jnp.asarray(sig), jnp.asarray(sig),
+                           jnp.asarray(valid), 0.2)
+        return np.asarray(st.alpha), np.asarray(gp.linv_from_chol(st.l))
+
+    monkeypatch.setenv("GPISMAP_PALLAS_CHOL", "0")
+    a_ref, w_ref = fit()
+    monkeypatch.setenv("GPISMAP_PALLAS_CHOL", "1")
+    a_pl, w_pl = fit()
+    np.testing.assert_allclose(a_pl, a_ref, rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(w_pl, w_ref, rtol=5e-3, atol=5e-3)
