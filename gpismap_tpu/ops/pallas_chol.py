@@ -36,23 +36,37 @@ def _onehot_lane(j, n, dtype):
     return (lanes == j).astype(dtype)
 
 
+_BMM = (((2,), (1,)), ((0,), (0,)))     # [C,a,k] @ [C,k,b] -> [C,a,b]
+
+
+def _row(mat, oh):
+    """Row j of every matrix in [C, n, n] as a one-hot contraction [C, n].
+    Mosaic has no dynamic_slice on VALUES (and only parses full 3D batched
+    matmuls), so all dynamic indexing in the base cases is one-hot
+    batched-matmul contractions."""
+    c, n, _ = mat.shape
+    ohc = jnp.broadcast_to(oh[None], (c, 1, n))            # [C, 1, n]
+    return jax.lax.dot_general(ohc, mat, _BMM,
+                               preferred_element_type=jnp.float32)[:, 0, :]
+
+
 def _chol_base(d):
     """Unblocked Cholesky of [C, NB, NB] SPD blocks, vectorized over C.
 
-    Column recursion: reads use dynamic SUBLANE slices (row j of the
-    symmetric input stands in for column j); the column write lands as a
-    one-hot outer-product accumulate, avoiding lane-dynamic stores.
+    Column recursion: row j of the symmetric input stands in for column j;
+    reads are one-hot contractions, the column write is a one-hot
+    outer-product accumulate (no lane-dynamic stores).
     """
     c, n, _ = d.shape
     rows = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)  # lane ids
 
     def body(j, l):
-        lrow_j = jax.lax.dynamic_slice_in_dim(l, j, 1, axis=1)[:, 0, :]
-        # s_i = sum_k L[i,k] L[j,k]; columns >= j of l are still zero
-        s = jax.lax.dot_general(l, lrow_j, (((2,), (1,)), ((0,), (0,))),
-                                preferred_element_type=jnp.float32)
-        drow_j = jax.lax.dynamic_slice_in_dim(d, j, 1, axis=1)[:, 0, :]
         oh = _onehot_lane(j, n, d.dtype)                   # [1, n]
+        lrow_j = _row(l, oh)
+        # s_i = sum_k L[i,k] L[j,k]; columns >= j of l are still zero
+        s = jax.lax.dot_general(l, lrow_j[:, :, None], _BMM,
+                                preferred_element_type=jnp.float32)[..., 0]
+        drow_j = _row(d, oh)
         djj = jnp.sum(drow_j * oh, axis=-1)                # [C]
         sjj = jnp.sum(s * oh, axis=-1)
         ljj = jnp.sqrt(jnp.maximum(djj - sjj, 1e-30))
@@ -65,20 +79,19 @@ def _chol_base(d):
 
 
 def _inv_lower_base(l):
-    """W = L^-1 for [C, NB, NB] lower-triangular blocks (row recursion;
-    dynamic sublane reads/writes only)."""
+    """W = L^-1 for [C, NB, NB] lower-triangular blocks (row recursion,
+    one-hot indexing throughout)."""
     c, n, _ = l.shape
 
     def body(i, w):
-        lrow = jax.lax.dynamic_slice_in_dim(l, i, 1, axis=1)[:, 0, :]
         oh = _onehot_lane(i, n, l.dtype)
+        lrow = _row(l, oh)
         lii = jnp.sum(lrow * oh, axis=-1)                  # [C]
         # acc_j = sum_k L[i,k] W[k,j]; rows >= i of w are still zero
-        acc = jax.lax.dot_general(lrow, w, (((1,), (1,)), ((0,), (0,))),
-                                  preferred_element_type=jnp.float32)
+        acc = jax.lax.dot_general(lrow[:, None, :], w, _BMM,
+                                  preferred_element_type=jnp.float32)[:, 0]
         wrow = (oh - acc) / lii[:, None]
-        return jax.lax.dynamic_update_slice_in_dim(w, wrow[:, None, :], i,
-                                                   axis=1)
+        return w + oh[None].swapaxes(1, 2) * wrow[:, None, :]  # write row i
 
     return jax.lax.fori_loop(0, n, body, jnp.zeros_like(l))
 
@@ -88,7 +101,10 @@ def _chol_kernel(a_ref, l_ref):
     chunk. Panels ride the MXU; diagonal blocks use _chol_base."""
     mp = a_ref.shape[-1]
     nb = mp // NB
-    dn = (((2,), (2,)), ((0,), (0,)))   # batched A @ B^T
+
+    def _abt(a, b):                     # batched A @ B^T (Mosaic-safe dims)
+        return jax.lax.dot_general(a, jnp.swapaxes(b, 1, 2), _BMM,
+                                   preferred_element_type=jnp.float32)
 
     l_ref[:] = jnp.zeros_like(l_ref)
     for kb in range(nb):
@@ -96,20 +112,17 @@ def _chol_kernel(a_ref, l_ref):
         d = a_ref[:, ko:ko + NB, ko:ko + NB]
         if kb:
             p = l_ref[:, ko:ko + NB, :ko]
-            d = d - jax.lax.dot_general(p, p, dn,
-                                        preferred_element_type=jnp.float32)
+            d = d - _abt(p, p)
         lkk = _chol_base(d)
         l_ref[:, ko:ko + NB, ko:ko + NB] = lkk
         if kb < nb - 1:
             wkk = _inv_lower_base(lkk)
             b = a_ref[:, ko + NB:, ko:ko + NB]
             if kb:
-                b = b - jax.lax.dot_general(
-                    l_ref[:, ko + NB:, :ko], l_ref[:, ko:ko + NB, :ko], dn,
-                    preferred_element_type=jnp.float32)
+                b = b - _abt(l_ref[:, ko + NB:, :ko],
+                             l_ref[:, ko:ko + NB, :ko])
             # L[i,k] = B inv(Lkk)^T
-            l_ref[:, ko + NB:, ko:ko + NB] = jax.lax.dot_general(
-                b, wkk, dn, preferred_element_type=jnp.float32)
+            l_ref[:, ko + NB:, ko:ko + NB] = _abt(b, wkk)
 
 
 def _linv_kernel(l_ref, w_ref):
@@ -117,7 +130,7 @@ def _linv_kernel(l_ref, w_ref):
     lower-triangular factors: W L = I."""
     mp = l_ref.shape[-1]
     nb = mp // NB
-    dn_nt = (((2,), (1,)), ((0,), (0,)))  # batched A @ B
+    dn_nt = _BMM                          # batched A @ B
 
     w_ref[:] = jnp.zeros_like(w_ref)
     # diagonal inverses first

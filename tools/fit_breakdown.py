@@ -90,6 +90,32 @@ def main():
     }
     chol_tf = b * (mp ** 3) / 3.0 / (out["cholesky_ms"] / 1e3) / 1e12
     out["cholesky_tflops"] = round(chol_tf, 3)
+
+    if jax.default_backend() == "tpu":
+        from gpismap_tpu.ops.pallas_chol import chol_pallas, linv_pallas
+        try:
+            out["pallas_chol_ms"] = round(
+                _bench(lambda: chol_pallas(k), args.reps) * 1e3, 3)
+            out["pallas_chol_tflops"] = round(
+                b * (mp ** 3) / 3.0 / (out["pallas_chol_ms"] / 1e3) / 1e12,
+                3)
+            out["pallas_linv_ms"] = round(
+                _bench(lambda: linv_pallas(l), args.reps) * 1e3, 3)
+            lp = np.asarray(chol_pallas(k))
+            out["pallas_chol_max_err"] = float(
+                np.nanmax(np.abs(lp - np.asarray(l))))
+        except Exception as e:               # report, don't die
+            out["pallas_error"] = repr(e)
+
+        os.environ["GPISMAP_PALLAS_CHOL"] = "1"
+        fit_pl = jax.jit(lambda: gp.fit_ongpis(x, g, val, sig, sig, valid,
+                                               scale).alpha)
+        try:
+            out["fit_full_pallas_ms"] = round(
+                _bench(fit_pl, args.reps) * 1e3, 3)
+        except Exception as e:
+            out["fit_pallas_error"] = repr(e)
+        os.environ["GPISMAP_PALLAS_CHOL"] = "auto"
     print(json.dumps(out))
 
 
