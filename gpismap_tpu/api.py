@@ -95,7 +95,12 @@ def _retrain_store(m) -> None:
         if rt["total"] > b:
             m.stats["retrain_truncated"] = rt["total"] - b
         counts = rt["counts"][:b]
-        chunk = m.cap.retrain_batch
+        chunk_cap = m.cap.retrain_batch
+        # batch rows are padded to a pow2 >= the mesh size: a bucket with 5
+        # touched cells fits at B=8, not the worst-case retrain_batch —
+        # the Cholesky cost is linear in B (the dominant term of the 2D
+        # device update budget, BASELINE.md device table)
+        lo = 8 if m.mesh is None else max(8, m.mesh.size)
         assigned = np.zeros(b, bool)
         for mb in m._retrain_buckets:
             if mb >= mcap:
@@ -104,6 +109,9 @@ def _retrain_store(m) -> None:
                 selb = (~assigned) & (counts <= mb)
             assigned |= selb
             rows = np.nonzero(selb)[0]
+            if len(rows) == 0:
+                continue
+            chunk = min(chunk_cap, _next_pow2(len(rows), lo=lo))
             for s in range(0, len(rows), chunk):
                 rr = rows[s:s + chunk]
                 bb = len(rr)

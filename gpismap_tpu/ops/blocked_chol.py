@@ -1,0 +1,159 @@
+"""128-blocked batched Cholesky / solves / inverse in pure JAX.
+
+XLA's native jnp.linalg.cholesky and triangular_solve are latency-bound at
+the cluster-GP shapes ([B, MP, MP], MP in {384, 1280}): ~5.5 ms and
+~3.2 ms at B=64/MP=384 regardless of batch (tools/fit_breakdown.py) —
+they dominate the 2D device update budget (BASELINE.md device table).
+
+This module restructures the same math so the sequential depth is paid
+ONCE for the whole batch:
+
+  * the diagonal-block recursions (128-wide Cholesky + triangular inverse)
+    run vectorized over [B, 128, 128] — 128 steps of batch-wide VPU work
+    instead of XLA's per-column internal loops;
+  * every panel/Schur update and every solve step is a large batched
+    matmul on the MXU;
+  * solves use the precomputed diagonal-block inverses, so a triangular
+    solve is MP/128 sequential block steps (3 in 2D) instead of MP.
+
+The Pallas variant of this idea (ops/pallas_chol.py) measured SLOWER than
+XLA because its grid serializes the base-case recursion per VMEM chunk;
+keeping the blocking at the XLA level lets the batch dimension carry the
+parallelism. Numerics: same factorization, f32 rounding differs from the
+native op by O(1e-3) on production systems — gated to TPU by default
+(GPISMAP_BLOCKED_CHOL=0/1 overrides), CPU golden paths stay bit-stable.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+NB = 128
+
+
+def _chol_base(d):
+    """Batched unblocked Cholesky of SPD [B, n, n] (column recursion,
+    vectorized over the batch)."""
+    b, n, _ = d.shape
+    lanes = jnp.arange(n)[None, :]
+
+    def body(j, l):
+        lrow = jax.lax.dynamic_slice_in_dim(l, j, 1, axis=1)[:, 0]  # [B,n]
+        s = jnp.einsum('bik,bk->bi', l, lrow)
+        drow = jax.lax.dynamic_slice_in_dim(d, j, 1, axis=1)[:, 0]
+        djj = jax.lax.dynamic_slice_in_dim(drow, j, 1, axis=1)[:, 0]
+        sjj = jax.lax.dynamic_slice_in_dim(s, j, 1, axis=1)[:, 0]
+        ljj = jnp.sqrt(jnp.maximum(djj - sjj, 1e-30))
+        col = (drow - s) / ljj[:, None]
+        col = jnp.where(lanes > j, col, 0.0) \
+            + jnp.where(lanes == j, ljj[:, None], 0.0)
+        return l + col[:, :, None] * (lanes == j).astype(d.dtype)[None]
+
+    return jax.lax.fori_loop(0, n, body, jnp.zeros_like(d))
+
+
+def _inv_base(l):
+    """Batched W = L^-1 of lower-triangular [B, n, n] (row recursion)."""
+    b, n, _ = l.shape
+    lanes = jnp.arange(n)[None, :]
+
+    def body(i, w):
+        lrow = jax.lax.dynamic_slice_in_dim(l, i, 1, axis=1)[:, 0]
+        lii = jax.lax.dynamic_slice_in_dim(lrow, i, 1, axis=1)[:, 0]
+        acc = jnp.einsum('bk,bkj->bj', lrow, w)
+        e = (lanes == i).astype(l.dtype)
+        wrow = (e - acc) / lii[:, None]
+        return jax.lax.dynamic_update_slice_in_dim(w, wrow[:, None, :], i,
+                                                   axis=1)
+
+    return jax.lax.fori_loop(0, n, body, jnp.zeros_like(l))
+
+
+def blocked_factor(k: jnp.ndarray):
+    """L, Wdiag for SPD k [B, MP, MP] (MP % 128 == 0).
+
+    L is the lower Cholesky factor (exact zeros above the diagonal);
+    Wdiag [B, nb, 128, 128] holds inv(L_kk) per diagonal block — the
+    reusable ingredient of the blocked solves/inverse below."""
+    b, mp, _ = k.shape
+    nb = mp // NB
+    l = jnp.zeros_like(k)
+    wd = []
+    for kb in range(nb):
+        o = kb * NB
+        d = k[:, o:o + NB, o:o + NB]
+        if kb:
+            p = l[:, o:o + NB, :o]
+            d = d - jnp.einsum('bik,bjk->bij', p, p)
+        lkk = _chol_base(d)
+        wkk = _inv_base(lkk)
+        wd.append(wkk)
+        l = l.at[:, o:o + NB, o:o + NB].set(lkk)
+        if kb < nb - 1:
+            t = k[:, o + NB:, o:o + NB]
+            if kb:
+                t = t - jnp.einsum('bik,bjk->bij', l[:, o + NB:, :o],
+                                   l[:, o:o + NB, :o])
+            l = l.at[:, o + NB:, o:o + NB].set(
+                jnp.einsum('bik,bjk->bij', t, wkk))
+    return l, jnp.stack(wd, axis=1)
+
+
+def blocked_solve_lower(l, wdiag, rhs):
+    """y = L^-1 rhs, rhs [B, MP, R] — nb sequential block steps, each an
+    MXU matmul against the precomputed diagonal inverses."""
+    mp = l.shape[-1]
+    nb = mp // NB
+    ys = []
+    for kb in range(nb):
+        o = kb * NB
+        t = rhs[:, o:o + NB]
+        if kb:
+            yprev = jnp.concatenate(ys, axis=1)
+            t = t - jnp.einsum('bij,bjr->bir', l[:, o:o + NB, :o], yprev)
+        ys.append(jnp.einsum('bij,bjr->bir', wdiag[:, kb], t))
+    return jnp.concatenate(ys, axis=1)
+
+
+def blocked_solve_upper_t(l, wdiag, rhs):
+    """x = L^-T rhs — the backward half of the cho_solve pair."""
+    mp = l.shape[-1]
+    nb = mp // NB
+    xs = [None] * nb
+    for kb in reversed(range(nb)):
+        o = kb * NB
+        t = rhs[:, o:o + NB]
+        if kb < nb - 1:
+            xnext = jnp.concatenate(xs[kb + 1:], axis=1)
+            # (L^T)[kb, j>kb] = L[j>kb, kb]^T
+            t = t - jnp.einsum('bji,bjr->bir', l[:, o + NB:, o:o + NB],
+                               xnext)
+        xs[kb] = jnp.einsum('bji,bjr->bir', wdiag[:, kb], t)
+    return jnp.concatenate(xs, axis=1)
+
+
+def blocked_solve_chol(l, wdiag, rhs):
+    """(L L^T)^-1 rhs (the two solveInPlace calls, ObsGP.cpp:43-44)."""
+    return blocked_solve_upper_t(l, wdiag, blocked_solve_lower(
+        l, wdiag, rhs))
+
+
+def blocked_linv(l, wdiag):
+    """Full W = L^-1 [B, MP, MP]: pure block matmuls (no recursion beyond
+    what blocked_factor already paid) — replaces the latency-bound
+    triangular_solve-vs-identity of the factor-cache fill."""
+    b, mp, _ = l.shape
+    nb = mp // NB
+    w = jnp.zeros_like(l)
+    for kb in range(nb):
+        o = kb * NB
+        w = w.at[:, o:o + NB, o:o + NB].set(wdiag[:, kb])
+    for kb in range(nb):            # column block
+        ko = kb * NB
+        for ib in range(kb + 1, nb):  # row blocks below, top to bottom
+            io = ib * NB
+            s = jnp.einsum('bik,bkj->bij', l[:, io:io + NB, ko:io],
+                           w[:, ko:io, ko:ko + NB])
+            w = w.at[:, io:io + NB, ko:ko + NB].set(
+                -jnp.einsum('bik,bkj->bij', wdiag[:, ib], s))
+    return w

@@ -22,14 +22,24 @@ from . import kernels
 
 
 def _use_pallas_chol(mp: int) -> bool:
-    """Route factorizations through the Pallas kernels (ops/pallas_chol.py)
-    when the shape is MXU-blockable. XLA's batched Cholesky runs the
-    recursion through HBM at <1% of peak at the cluster-GP shapes
-    (tools/fit_breakdown.py); the VMEM-resident blocked kernel is ~10x.
-    GPISMAP_PALLAS_CHOL=0 forces XLA (the bit-for-bit round-1 numerics),
-    =1 forces Pallas everywhere (interpret off-TPU), default: TPU only."""
+    """GPISMAP_PALLAS_CHOL=1 routes factorizations through the Pallas
+    kernels (ops/pallas_chol.py). OFF by default: measured SLOWER than XLA
+    at production shapes (its grid serializes the base-case recursion per
+    VMEM chunk — see ops/blocked_chol.py, the approach that works)."""
     import os
-    v = os.environ.get("GPISMAP_PALLAS_CHOL", "auto")
+    if os.environ.get("GPISMAP_PALLAS_CHOL") not in ("1", "on"):
+        return False
+    return mp % 128 == 0 and 0 < mp <= 512
+
+
+def _use_blocked_chol(mp: int) -> bool:
+    """Route factorization/solves through the 128-blocked pure-JAX path
+    (ops/blocked_chol.py): batch-vectorized base case + MXU panels; ~MP/128
+    sequential block steps per solve instead of MP. Default: TPU only
+    (keeps CPU golden numerics bit-stable); GPISMAP_BLOCKED_CHOL=0/1
+    overrides."""
+    import os
+    v = os.environ.get("GPISMAP_BLOCKED_CHOL", "auto")
     if v in ("0", "off"):
         return False
     if mp % 128 or mp == 0:
@@ -43,6 +53,9 @@ def _chol(k: jnp.ndarray) -> jnp.ndarray:
     if k.ndim == 3 and _use_pallas_chol(k.shape[-1]):
         from .pallas_chol import chol_pallas
         return chol_pallas(k, interpret=jax.default_backend() != "tpu")
+    if k.ndim == 3 and _use_blocked_chol(k.shape[-1]):
+        from .blocked_chol import blocked_factor
+        return blocked_factor(k)[0]
     return jnp.linalg.cholesky(k)
 
 
@@ -108,6 +121,11 @@ def linv_from_chol(l: jnp.ndarray) -> jnp.ndarray:
     if l.ndim == 3 and _use_pallas_chol(m):
         from .pallas_chol import linv_pallas
         return linv_pallas(l, interpret=jax.default_backend() != "tpu")
+    if l.ndim == 3 and _use_blocked_chol(m):
+        from .blocked_chol import NB, _inv_base, blocked_linv
+        wd = jnp.stack([_inv_base(l[:, o:o + NB, o:o + NB])
+                        for o in range(0, m, NB)], axis=1)
+        return blocked_linv(l, wd)
     eye = jnp.broadcast_to(jnp.eye(m, dtype=l.dtype), l.shape)
     return triangular_solve(l, eye, left_side=True, lower=True)
 
@@ -205,8 +223,14 @@ def fit_ongpis(x: jnp.ndarray, grad: jnp.ndarray, val: jnp.ndarray,
     y = jnp.concatenate(
         [jnp.where(valid, val, 0.0)]
         + [grad[..., i] * gmaskf for i in range(d)], axis=-1)
-    l = _chol(k)
-    alpha = _solve_chol(l, y[..., None])[..., 0]
+    mp = k.shape[-1]
+    if _use_blocked_chol(mp) and not _use_pallas_chol(mp):
+        from .blocked_chol import blocked_factor, blocked_solve_chol
+        l, wd = blocked_factor(k)
+        alpha = blocked_solve_chol(l, wd, y[..., None])[..., 0]
+    else:
+        l = _chol(k)
+        alpha = _solve_chol(l, y[..., None])[..., 0]
     return OnGPISState(x=x, valid=valid, gradflag=gradflag, l=l, alpha=alpha,
                        trained=jnp.any(valid, axis=-1))
 

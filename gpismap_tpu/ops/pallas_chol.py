@@ -154,9 +154,10 @@ def _linv_kernel(l_ref, w_ref):
 
 
 def _chunk(b, mp):
-    """Matrices per program: keep in+out chunks within ~12 MB of VMEM."""
+    """Matrices per program: the pallas pipeline double-buffers grid
+    blocks, so in+out chunks must stay within ~half of the 16 MB VMEM."""
     per = 2 * mp * mp * 4
-    c = max(1, (12 << 20) // per)
+    c = max(1, (5 << 20) // per)
     while b % c:
         c -= 1
     return c

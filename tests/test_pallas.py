@@ -188,3 +188,63 @@ def test_pallas_chol_env_switch_fit_equivalence(monkeypatch):
     a_pl, w_pl = fit()
     np.testing.assert_allclose(a_pl, a_ref, rtol=5e-3, atol=5e-3)
     np.testing.assert_allclose(w_pl, w_ref, rtol=5e-3, atol=5e-3)
+
+
+def test_blocked_chol_matches_xla():
+    """The 128-blocked pure-JAX factorization/solves/inverse (the path TPU
+    defaults to) == the native XLA ops."""
+    from gpismap_tpu.ops import blocked_chol as bc
+
+    rng = np.random.default_rng(4)
+    k = _spd_batch(rng, 3, 384)
+    l_ref = np.asarray(jnp.linalg.cholesky(k))
+    l, wd = jax.jit(bc.blocked_factor)(k)
+    np.testing.assert_allclose(np.asarray(l), l_ref, rtol=2e-4, atol=2e-4)
+    iu = np.triu_indices(384, k=1)
+    assert (np.asarray(l)[:, iu[0], iu[1]] == 0).all()
+
+    rhs = jnp.asarray(rng.normal(size=(3, 384, 2)).astype(np.float32))
+    y_ref = np.asarray(jax.lax.linalg.triangular_solve(
+        jnp.asarray(l_ref), rhs, left_side=True, lower=True))
+    y = np.asarray(bc.blocked_solve_lower(l, wd, rhs))
+    np.testing.assert_allclose(y, y_ref, rtol=2e-4, atol=2e-4)
+
+    import jax.scipy.linalg as jsl
+    x_ref = np.asarray(jsl.cho_solve((jnp.asarray(l_ref), True), rhs))
+    x = np.asarray(bc.blocked_solve_chol(l, wd, rhs))
+    np.testing.assert_allclose(x, x_ref, rtol=2e-3, atol=2e-3)
+
+    w_ref = np.asarray(jax.lax.linalg.triangular_solve(
+        jnp.asarray(l_ref),
+        jnp.broadcast_to(jnp.eye(384, dtype=jnp.float32), l_ref.shape),
+        left_side=True, lower=True))
+    w = np.asarray(bc.blocked_linv(l, wd))
+    np.testing.assert_allclose(w, w_ref, rtol=2e-3, atol=2e-3)
+
+
+def test_blocked_chol_env_switch_fit_equivalence(monkeypatch):
+    """fit_ongpis + linv_from_chol through the blocked path == native on a
+    real masked cluster-GP system."""
+    from gpismap_tpu.ops import gp
+
+    rng = np.random.default_rng(5)
+    b, m, d = 2, 128, 2
+    x = rng.uniform(-1, 1, (b, m, d)).astype(np.float32)
+    g = rng.normal(size=(b, m, d)).astype(np.float32)
+    g /= np.linalg.norm(g, axis=-1, keepdims=True)
+    val = np.full((b, m), -0.2, np.float32)
+    sig = np.full((b, m), 0.05, np.float32)
+    valid = rng.uniform(size=(b, m)) > 0.3
+
+    def fit():
+        st = gp.fit_ongpis(jnp.asarray(x), jnp.asarray(g), jnp.asarray(val),
+                           jnp.asarray(sig), jnp.asarray(sig),
+                           jnp.asarray(valid), 0.2)
+        return np.asarray(st.alpha), np.asarray(gp.linv_from_chol(st.l))
+
+    monkeypatch.setenv("GPISMAP_BLOCKED_CHOL", "0")
+    a_ref, w_ref = fit()
+    monkeypatch.setenv("GPISMAP_BLOCKED_CHOL", "1")
+    a_bl, w_bl = fit()
+    np.testing.assert_allclose(a_bl, a_ref, rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(w_bl, w_ref, rtol=5e-3, atol=5e-3)
