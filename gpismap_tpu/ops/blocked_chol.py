@@ -30,6 +30,15 @@ import jax.numpy as jnp
 
 NB = 128
 
+def _ein(spec, *ops):
+    """All contractions at HIGHEST precision: TPU default f32 matmuls run
+    as single-pass bf16, which is too loose for factorizing
+    ill-conditioned kernel matrices (the native cholesky op computes in
+    full f32 internally). The matmuls are a minor cost here — the win of
+    this module is latency structure, not matmul throughput."""
+    return jnp.einsum(spec, *ops, precision='highest')
+
+
 
 def _chol_base(d):
     """Batched unblocked Cholesky of SPD [B, n, n] (column recursion,
@@ -39,7 +48,7 @@ def _chol_base(d):
 
     def body(j, l):
         lrow = jax.lax.dynamic_slice_in_dim(l, j, 1, axis=1)[:, 0]  # [B,n]
-        s = jnp.einsum('bik,bk->bi', l, lrow)
+        s = _ein('bik,bk->bi', l, lrow)
         drow = jax.lax.dynamic_slice_in_dim(d, j, 1, axis=1)[:, 0]
         djj = jax.lax.dynamic_slice_in_dim(drow, j, 1, axis=1)[:, 0]
         sjj = jax.lax.dynamic_slice_in_dim(s, j, 1, axis=1)[:, 0]
@@ -60,7 +69,7 @@ def _inv_base(l):
     def body(i, w):
         lrow = jax.lax.dynamic_slice_in_dim(l, i, 1, axis=1)[:, 0]
         lii = jax.lax.dynamic_slice_in_dim(lrow, i, 1, axis=1)[:, 0]
-        acc = jnp.einsum('bk,bkj->bj', lrow, w)
+        acc = _ein('bk,bkj->bj', lrow, w)
         e = (lanes == i).astype(l.dtype)
         wrow = (e - acc) / lii[:, None]
         return jax.lax.dynamic_update_slice_in_dim(w, wrow[:, None, :], i,
@@ -84,7 +93,7 @@ def blocked_factor(k: jnp.ndarray):
         d = k[:, o:o + NB, o:o + NB]
         if kb:
             p = l[:, o:o + NB, :o]
-            d = d - jnp.einsum('bik,bjk->bij', p, p)
+            d = d - _ein('bik,bjk->bij', p, p)
         lkk = _chol_base(d)
         wkk = _inv_base(lkk)
         wd.append(wkk)
@@ -92,10 +101,10 @@ def blocked_factor(k: jnp.ndarray):
         if kb < nb - 1:
             t = k[:, o + NB:, o:o + NB]
             if kb:
-                t = t - jnp.einsum('bik,bjk->bij', l[:, o + NB:, :o],
+                t = t - _ein('bik,bjk->bij', l[:, o + NB:, :o],
                                    l[:, o:o + NB, :o])
             l = l.at[:, o + NB:, o:o + NB].set(
-                jnp.einsum('bik,bjk->bij', t, wkk))
+                _ein('bik,bjk->bij', t, wkk))
     return l, jnp.stack(wd, axis=1)
 
 
@@ -110,8 +119,8 @@ def blocked_solve_lower(l, wdiag, rhs):
         t = rhs[:, o:o + NB]
         if kb:
             yprev = jnp.concatenate(ys, axis=1)
-            t = t - jnp.einsum('bij,bjr->bir', l[:, o:o + NB, :o], yprev)
-        ys.append(jnp.einsum('bij,bjr->bir', wdiag[:, kb], t))
+            t = t - _ein('bij,bjr->bir', l[:, o:o + NB, :o], yprev)
+        ys.append(_ein('bij,bjr->bir', wdiag[:, kb], t))
     return jnp.concatenate(ys, axis=1)
 
 
@@ -126,9 +135,9 @@ def blocked_solve_upper_t(l, wdiag, rhs):
         if kb < nb - 1:
             xnext = jnp.concatenate(xs[kb + 1:], axis=1)
             # (L^T)[kb, j>kb] = L[j>kb, kb]^T
-            t = t - jnp.einsum('bji,bjr->bir', l[:, o + NB:, o:o + NB],
+            t = t - _ein('bji,bjr->bir', l[:, o + NB:, o:o + NB],
                                xnext)
-        xs[kb] = jnp.einsum('bji,bjr->bir', wdiag[:, kb], t)
+        xs[kb] = _ein('bji,bjr->bir', wdiag[:, kb], t)
     return jnp.concatenate(xs, axis=1)
 
 
@@ -152,8 +161,8 @@ def blocked_linv(l, wdiag):
         ko = kb * NB
         for ib in range(kb + 1, nb):  # row blocks below, top to bottom
             io = ib * NB
-            s = jnp.einsum('bik,bkj->bij', l[:, io:io + NB, ko:io],
+            s = _ein('bik,bkj->bij', l[:, io:io + NB, ko:io],
                            w[:, ko:io, ko:ko + NB])
             w = w.at[:, io:io + NB, ko:ko + NB].set(
-                -jnp.einsum('bik,bkj->bij', wdiag[:, ib], s))
+                -_ein('bik,bkj->bij', wdiag[:, ib], s))
     return w
