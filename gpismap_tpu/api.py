@@ -101,16 +101,28 @@ def _retrain_store(m) -> None:
         # the Cholesky cost is linear in B (the dominant term of the 2D
         # device update budget, BASELINE.md device table)
         lo = 8 if m.mesh is None else max(8, m.mesh.size)
-        assigned = np.zeros(b, bool)
-        for mb in m._retrain_buckets:
-            if mb >= mcap:
-                selb = ~assigned
-            else:
-                selb = (~assigned) & (counts <= mb)
-            assigned |= selb
-            rows = np.nonzero(selb)[0]
-            if len(rows) == 0:
-                continue
+        import jax as _jax
+        if _jax.default_backend() == "tpu":
+            # On TPU the fit is latency-bound, not FLOP-bound (a batched
+            # factorization costs ~the same at B=8 and B=64 —
+            # tools/fit_breakdown.py), so ONE dispatch at the smallest
+            # bucket covering the largest cell beats per-size dispatches.
+            mb1 = next((bb for bb in m._retrain_buckets
+                        if bb >= counts.max()), m._retrain_buckets[-1])
+            groups = [(mb1, np.arange(b))]
+        else:
+            groups = []
+            assigned = np.zeros(b, bool)
+            for mb in m._retrain_buckets:
+                if mb >= mcap:
+                    selb = ~assigned
+                else:
+                    selb = (~assigned) & (counts <= mb)
+                assigned |= selb
+                rows = np.nonzero(selb)[0]
+                if len(rows):
+                    groups.append((mb, rows))
+        for mb, rows in groups:
             chunk = min(chunk_cap, _next_pow2(len(rows), lo=lo))
             for s in range(0, len(rows), chunk):
                 rr = rows[s:s + chunk]
