@@ -75,20 +75,21 @@ def main():
     hit_frac = float(np.asarray(out["hit"]).mean())
 
     # ---- forward + backward (store alphas + kernel scale) ----
-    @jax.jit
-    def loss(alpha, scale, o_, d_):
+    # store/grid/factors ride as ARGUMENTS: closing over them bakes the
+    # multi-GB factor buffer into the program as constants (tunnel 413)
+    def loss(alpha, scale, store, grid, factors_, o_, d_):
         hyper = render.hyper_from_scale(scale, 3)
-        st = m.store._replace(alpha=alpha)
-        out = render.sphere_trace(st, m.grid, o_, d_, cfg, factors, hyper)
+        st = store._replace(alpha=alpha)
+        out = render.sphere_trace(st, grid, o_, d_, cfg, factors_, hyper)
         return jnp.sum(jnp.where(out["hit"], out["t"], 0.0))
 
     gfun = jax.jit(jax.grad(loss, argnums=(0, 1)))
     sc = jnp.asarray(m.p.map_scale_param, jnp.float32)
-    g = gfun(m.store.alpha, sc, o_d, d_d)
+    g = gfun(m.store.alpha, sc, m.store, m.grid, factors, o_d, d_d)
     jax.block_until_ready(g)
     t0 = time.time()
     for _ in range(args.reps):
-        g = gfun(m.store.alpha, sc, o_d, d_d)
+        g = gfun(m.store.alpha, sc, m.store, m.grid, factors, o_d, d_d)
     jax.block_until_ready(g)
     bwd_s = (time.time() - t0) / args.reps
     bwd_rps = n_rays / bwd_s
