@@ -40,7 +40,12 @@ def _ein(spec, *ops):
 
 
 
-PW = 8  # base-case panel width (sequential loop steps = n / PW)
+import os as _os
+
+# Base-case panel width (sequential loop steps = n / PW). 8 measured best
+# on TPU v5e (4/8/16 sweep, tools/device_profile.py retrain stage);
+# GPISMAP_CHOL_PW overrides for tuning.
+PW = int(_os.environ.get("GPISMAP_CHOL_PW", "8"))
 
 
 def _chol_base(d):

@@ -31,6 +31,11 @@ def main():
     ap.add_argument("--frames", type=int, default=12)
     ap.add_argument("--sub", type=int, default=2,
                     help="camera-ray subsample (2 -> 320x240 = 76.8k rays)")
+    ap.add_argument("--bwd-sub", type=int, default=0,
+                    help="ray subsample for the backward measurement "
+                    "(0 -> 2*sub: the unrolled-trace gradient holds "
+                    "per-step residuals for every ray, so its HBM "
+                    "footprint is ~n_steps x the forward's)")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -85,15 +90,26 @@ def main():
 
     gfun = jax.jit(jax.grad(loss, argnums=(0, 1)))
     sc = jnp.asarray(m.p.map_scale_param, jnp.float32)
-    g = gfun(m.store.alpha, sc, m.store, m.grid, factors, o_d, d_d)
-    jax.block_until_ready(g)
-    t0 = time.time()
-    for _ in range(args.reps):
-        g = gfun(m.store.alpha, sc, m.store, m.grid, factors, o_d, d_d)
-    jax.block_until_ready(g)
-    bwd_s = (time.time() - t0) / args.reps
-    bwd_rps = n_rays / bwd_s
-    dscale = float(g[1])
+    bsub = args.bwd_sub or 2 * args.sub
+    ob, db, _ = render.camera_rays(tr, rot, m.cam, subsample=bsub)
+    nb_rays = len(ob)
+    ob_d, db_d = jax.device_put((jnp.asarray(ob), jnp.asarray(db)))
+    bwd_err = None
+    bwd_s = bwd_rps = dscale = None
+    try:
+        g = gfun(m.store.alpha, sc, m.store, m.grid, factors, ob_d, db_d)
+        jax.block_until_ready(g)
+        t0 = time.time()
+        for _ in range(args.reps):
+            g = gfun(m.store.alpha, sc, m.store, m.grid, factors,
+                     ob_d, db_d)
+        jax.block_until_ready(g)
+        bwd_s = round((time.time() - t0) / args.reps, 4)
+        bwd_rps = round(nb_rays / bwd_s, 1)
+        dscale = float(g[1])
+    except Exception as e:  # noqa: BLE001 — still report the forward rows
+        bwd_err = repr(e)[:300]
+        print(f"# backward failed: {bwd_err}", file=sys.stderr, flush=True)
 
     out = {
         "metric": "render_rays_per_s_per_chip",
@@ -106,8 +122,10 @@ def main():
             "n_steps": cfg.n_steps,
             "hit_fraction": round(hit_frac, 4),
             "forward_s": round(fwd_s, 4),
-            "forward_backward_rays_per_s": round(bwd_rps, 1),
-            "forward_backward_s": round(bwd_s, 4),
+            "forward_backward_rays_per_s": bwd_rps,
+            "forward_backward_s": bwd_s,
+            "forward_backward_n_rays": nb_rays,
+            "backward_error": bwd_err,
             "grad_wrt_scale": dscale,
             "n_frames": len(frames),
             "n_nodes": int(m.num_nodes),
