@@ -248,3 +248,27 @@ def test_blocked_chol_env_switch_fit_equivalence(monkeypatch):
     a_bl, w_bl = fit()
     np.testing.assert_allclose(a_bl, a_ref, rtol=5e-3, atol=5e-3)
     np.testing.assert_allclose(w_bl, w_ref, rtol=5e-3, atol=5e-3)
+
+
+def test_blocked_chol_panel_widths(monkeypatch):
+    """The panelized base cases are PW-invariant: every supported panel
+    width produces the same factorization (GPISMAP_CHOL_PW tunes the
+    sequential-depth/body-size trade on TPU; numerics must not move)."""
+    import importlib
+
+    from gpismap_tpu.ops import blocked_chol as bc
+
+    rng = np.random.default_rng(11)
+    k = _spd_batch(rng, 2, 256)
+    l_ref = np.asarray(jnp.linalg.cholesky(k))
+    for pw in (4, 8, 16):
+        monkeypatch.setattr(bc, "PW", pw)
+        l, wd = jax.jit(bc.blocked_factor)(k)
+        np.testing.assert_allclose(np.asarray(l), l_ref, rtol=2e-4,
+                                   atol=2e-4, err_msg=f"PW={pw}")
+        w = np.asarray(bc.blocked_linv(l, wd))
+        eye = np.einsum('bij,bjk->bik', np.asarray(l, np.float64),
+                        np.asarray(w, np.float64))
+        np.testing.assert_allclose(
+            eye, np.broadcast_to(np.eye(256), eye.shape), atol=5e-4,
+            err_msg=f"PW={pw}")
