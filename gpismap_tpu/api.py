@@ -74,6 +74,67 @@ class _MeshMixin:
         if self.mesh is not None:
             self.store = jax.device_put(self.store, self._sh_rep)
 
+    # -- factor cache (shared by both mappers) -------------------------
+    def _live_slots(self) -> np.ndarray:
+        """Sorted live cluster slots (the current factor-cache key)."""
+        cells = self.index.all_cluster_cells(cap=self.cap.max_cells * 4)
+        if len(cells) == 0:
+            return np.zeros(0, np.int32)
+        _, _, slots = self.index.cell_info(cells)
+        return np.sort(slots[slots >= 0]).astype(np.int32)
+
+    def _get_factors(self):
+        """Bounded cache of per-cell Cholesky factors (the reference keeps
+        L per cell, OnGPIS.h; recomputed only after retraining). Falls back
+        to per-call factorization when the live-cell count exceeds the
+        cache bound."""
+        if self._factors is not None:
+            return self._factors
+        live = self._live_slots()
+        if len(live) == 0 or len(live) > self.cap.test_active_cells:
+            return None
+        pad = np.full(self.cap.test_active_cells, -1, np.int32)
+        pad[:len(live)] = live
+        self._factors = cluster.factorize_slots(
+            self.store, self._dev(pad), self.p.map_scale_param,
+            self.cap.test_active_cells)
+        self._factors_slots = live
+        if self.mesh is not None:
+            self._factors = jax.device_put(self._factors, self._sh_rep)
+        return self._factors
+
+    def _refresh_factors(self, retrained_slots: np.ndarray) -> None:
+        """Incremental factor-cache maintenance after a retrain.
+
+        If the live slot set is unchanged since the cache was filled, only
+        the just-retrained cells re-factorize (cluster.update_factors) —
+        the retrain already computed their fresh Cholesky factors' inputs,
+        so the next test() skips the full factorize_slots refill. Any
+        slot-set change (insert into a new cell, prune) falls back to full
+        invalidation."""
+        old, self._factors = self._factors, None
+        if old is None or getattr(self, "_factors_slots", None) is None:
+            self._factors_slots = None
+            return
+        live = self._live_slots()
+        if (len(live) == 0 or len(live) > self.cap.test_active_cells
+                or not np.array_equal(live, self._factors_slots)):
+            self._factors_slots = None
+            return
+        if len(retrained_slots) == 0:      # nothing retrained: still valid
+            self._factors = old
+            return
+        bpad = _next_pow2(len(retrained_slots), lo=8)
+        sl = np.full(bpad, -1, np.int32)
+        sl[:len(retrained_slots)] = retrained_slots
+        linv_buf, uniq = old
+        linv_buf = cluster.update_factors(
+            self.store, linv_buf, uniq, self._dev(sl),
+            self.p.map_scale_param)
+        self._factors = (linv_buf, uniq)
+        if self.mesh is not None:
+            self._factors = jax.device_put(self._factors, self._sh_rep)
+
 
 def _retrain_store(m) -> None:
     """Step 4 shared by both mappers: retrain touched cluster GPs
@@ -145,7 +206,7 @@ def _retrain_store(m) -> None:
                     m._dev(vmask, shard=True), m.p.map_scale_param)
     m.index.clear_active()
     m._rebuild_grid()
-    m._factors = None
+    m._refresh_factors(rt["slots"][:b] if b else np.zeros(0, np.int32))
     m._replicate_state()
 
 
@@ -221,6 +282,7 @@ class GPisMap2D(_MeshMixin):
         self.frame = 0
         self.stats: dict = {}
         self._factors = None   # cached per-cell Cholesky factors
+        self._factors_slots = None
         self._retrain_buckets = _default_buckets(cap.gp_support)
 
     # ------------------------------------------------------------------
@@ -233,6 +295,7 @@ class GPisMap2D(_MeshMixin):
             self.dim, self.grid_half))
         self.frame = 0
         self._factors = None
+        self._factors_slots = None
 
     # ------------------------------------------------------------------
     def update(self, thetas: np.ndarray, ranges: np.ndarray,
@@ -421,28 +484,20 @@ class GPisMap2D(_MeshMixin):
             return False
         return jax.default_backend() == "tpu"
 
-    def _get_factors(self):
-        """Bounded cache of per-cell Cholesky factors (the reference keeps
-        L per cell, OnGPIS.h; recomputed only after retraining). Falls back
-        to per-call factorization when the live-cell count exceeds the
-        cache bound."""
-        if self._factors is not None:
-            return self._factors
-        cells = self.index.all_cluster_cells(cap=self.cap.max_cells * 4)
-        if len(cells) == 0:
-            return None
-        _, _, slots = self.index.cell_info(cells)
-        live = slots[slots >= 0]
-        if len(live) > self.cap.test_active_cells:
-            return None
-        pad = np.full(self.cap.test_active_cells, -1, np.int32)
-        pad[:len(live)] = np.sort(live)
-        self._factors = cluster.factorize_slots(
-            self.store, self._dev(pad), self.p.map_scale_param,
-            self.cap.test_active_cells)
-        if self.mesh is not None:
-            self._factors = jax.device_put(self._factors, self._sh_rep)
-        return self._factors
+    def _test_kwargs(self) -> dict:
+        """The exact kwarg set test() passes to cluster.map_test — the
+        single source for the 2D query constants (GPisMap.cpp:671,685;
+        OnGPIS.cpp:170-172); tools and the multi-process drivers reuse it
+        so profiled/sharded programs can't drift from production."""
+        return dict(
+            cell_size=self.cell_size, grid_half=self.grid_half,
+            noff=self._noff, search_half=self._search_half,
+            scale=self.p.map_scale_param, val_const=1.01,
+            grad_const=self.p.three_over_scale + 0.1,
+            var_thre=self.p.test_var_thre,
+            default_var=1.0 + self.p.map_noise_param,
+            tile=self.cap.test_tile, max_cells=self.cap.max_cells,
+            max_active=self.cap.test_active_cells)
 
     def test(self, x: np.ndarray) -> np.ndarray:
         """Batched SDF query (reference: GPisMap::test, GPisMap.cpp:765-810).
@@ -469,14 +524,7 @@ class GPisMap2D(_MeshMixin):
             return fn(
                 self.store, self.grid, self._dev(xq, shard=True),
                 factors=self._get_factors(), use_pallas=up,
-                cell_size=self.cell_size, grid_half=self.grid_half,
-                noff=self._noff, search_half=self._search_half,
-                scale=self.p.map_scale_param, val_const=1.01,
-                grad_const=self.p.three_over_scale + 0.1,
-                var_thre=self.p.test_var_thre,
-                default_var=1.0 + self.p.map_noise_param,
-                tile=self.cap.test_tile, max_cells=self.cap.max_cells,
-                max_active=self.cap.test_active_cells,
+                **self._test_kwargs(),
                 **({} if self.mesh is None else {"mesh": self.mesh}))
 
         try:

@@ -81,6 +81,7 @@ class GPisMap3D(_MeshMixin):
         self.frame = 0
         self.stats: dict = {}
         self._factors = None   # cached per-cell Cholesky factors
+        self._factors_slots = None
         self._retrain_buckets = _default_buckets(cap.gp_support)
 
     # ------------------------------------------------------------------
@@ -101,6 +102,7 @@ class GPisMap3D(_MeshMixin):
                                                  self.grid_half))
         self.frame = 0
         self._factors = None
+        self._factors_slots = None
 
     # ------------------------------------------------------------------
     def _obs_limits(self):
@@ -305,28 +307,19 @@ class GPisMap3D(_MeshMixin):
             return False
         return jax.default_backend() == "tpu"
 
-    def _get_factors(self):
-        """Bounded cache of per-cell Cholesky factors (the reference keeps
-        L per cell, OnGPIS.h; recomputed only after retraining). Falls back
-        to per-call factorization when the live-cell count exceeds the
-        cache bound."""
-        if self._factors is not None:
-            return self._factors
-        cells = self.index.all_cluster_cells(cap=self.cap.max_cells * 4)
-        if len(cells) == 0:
-            return None
-        _, _, slots = self.index.cell_info(cells)
-        live = slots[slots >= 0]
-        if len(live) > self.cap.test_active_cells:
-            return None
-        pad = np.full(self.cap.test_active_cells, -1, np.int32)
-        pad[:len(live)] = np.sort(live)
-        self._factors = cluster.factorize_slots(
-            self.store, self._dev(pad), self.p.map_scale_param,
-            self.cap.test_active_cells)
-        if self.mesh is not None:
-            self._factors = jax.device_put(self._factors, self._sh_rep)
-        return self._factors
+    def _test_kwargs(self) -> dict:
+        """The exact kwarg set test() passes to cluster.map_test — the
+        single source for the 3D query constants (testSinglePoint,
+        OnGPIS.cpp:208-213; var threshold 0.5, GPisMap3.cpp:800)."""
+        return dict(
+            cell_size=self.cell_size, grid_half=self.grid_half,
+            noff=self._noff, search_half=self._search_half,
+            scale=self.p.map_scale_param, val_const=1.001,
+            grad_const=self.p.three_over_scale + 0.001,
+            var_thre=self.p.test_var_thre,
+            default_var=1.0 + self.p.map_noise_param,
+            tile=self.cap.test_tile, max_cells=self.cap.max_cells,
+            max_active=self.cap.test_active_cells)
 
     def test(self, x: np.ndarray) -> np.ndarray:
         """Batched SDF query (GPisMap3::test, GPisMap3.cpp:904-949).
@@ -346,14 +339,7 @@ class GPisMap3D(_MeshMixin):
             return fn(
                 self.store, self.grid, self._dev(xq, shard=True),
                 factors=self._get_factors(), use_pallas=up,
-                cell_size=self.cell_size, grid_half=self.grid_half,
-                noff=self._noff, search_half=self._search_half,
-                scale=self.p.map_scale_param, val_const=1.001,
-                grad_const=self.p.three_over_scale + 0.001,
-                var_thre=self.p.test_var_thre,
-                default_var=1.0 + self.p.map_noise_param,
-                tile=self.cap.test_tile, max_cells=self.cap.max_cells,
-                max_active=self.cap.test_active_cells,
+                **self._test_kwargs(),
                 **({} if self.mesh is None else {"mesh": self.mesh}))
 
         try:

@@ -263,6 +263,36 @@ def factorize_slots(store: ClusterStore, slots: jnp.ndarray, scale,
         slot_of >= 0, slot_of, big)
 
 
+@jax.jit
+def update_factors(store: ClusterStore, linv_buf: jnp.ndarray,
+                   uniq: jnp.ndarray, slots: jnp.ndarray,
+                   scale) -> jnp.ndarray:
+    """Incremental twin of factorize_slots: refresh L^-1 for the given
+    (just-retrained) slots inside an existing factor buffer.
+
+    The reference retrains a cell's GP and keeps its fresh L alive
+    (OnGPIS.h `L`, swapped in by Update, quadtree.cpp:438-441); this is
+    the batched equivalent — only the B touched cells re-factorize
+    instead of the whole live set.
+
+    slots: [B], -1-padded. Callers must verify the live slot set is
+    unchanged (every real slot already present in uniq) before taking
+    this path; slots that miss uniq are dropped here as a backstop.
+    """
+    big = jnp.iinfo(jnp.int32).max
+    max_active = linv_buf.shape[0]
+    sl = jnp.where(slots >= 0, slots, big).astype(jnp.int32)
+    pos = jnp.clip(jnp.searchsorted(uniq, sl), 0, max_active - 1)
+    hit = (sl < big) & (uniq[pos] == sl)
+    new_linv = _factorize_cells(
+        store, jnp.where(hit, slots, -1).astype(jnp.int32), scale,
+        chunk=min(128, slots.shape[0]))
+    tgt = jnp.where(hit, pos, max_active)
+    ext = jnp.concatenate(
+        [linv_buf, jnp.zeros((1,) + linv_buf.shape[1:], linv_buf.dtype)])
+    return ext.at[tgt].set(new_linv, mode='drop')[:-1]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("grid_half", "noff", "tile", "max_cells",

@@ -340,33 +340,142 @@ class NewMeas3D(NamedTuple):
     grad_noise: jnp.ndarray  # [P]
 
 
-@functools.partial(jax.jit, static_argnames=("mp", "op", "chunk"))
+def _obs_blocked_default() -> bool:
+    """Cell-blocked ObsGP2D evaluation (obsgp2d_test_blocked) — the probe
+    sweep as dense shifted matmuls instead of per-query factor gathers.
+    Default on TPU (the gather path's 16 KB/query HBM traffic is the
+    frame_compute_3d wall); CPU keeps the gather path so golden numerics
+    stay bit-stable. GPISMAP_OBS_BLOCKED=0/1 overrides."""
+    import os
+    v = os.environ.get("GPISMAP_OBS_BLOCKED", "auto")
+    if v in ("0", "off"):
+        return False
+    if v in ("1", "on"):
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def _grid_ownership(cam: CameraParam, mp: MapperParam, op: ObsGPParam):
+    """Static pixel->cell ownership tables for the (v, u) ray grid.
+
+    The obs partition boundaries are pure camera geometry
+    (GPisMap3.cpp:144-173 + ObsGP.cpp:204-265), so each PIXEL's owning
+    cell is known at trace time. Returns (row_idx [nG0, W0],
+    col_idx [nG1, W1]) with -1 padding.
+    """
+    import numpy as np
+
+    skip = mp.obs_skip
+    m = cam.height // skip
+    n = cam.width // skip
+    v_np = ((np.arange(m) * skip).astype(np.float32)
+            - np.float32(cam.cy)) / np.float32(cam.fy)
+    u_np = ((np.arange(n) * skip).astype(np.float32)
+            - np.float32(cam.cx)) / np.float32(cam.fx)
+    _, _, _, bnd_i = obsgp.partition_1axis(m, op.group_size, op.overlap)
+    _, _, _, bnd_j = obsgp.partition_1axis(n, op.group_size, op.overlap)
+    row_idx = obsgp.ownership_1axis(v_np, v_np[np.asarray(bnd_i)])
+    col_idx = obsgp.ownership_1axis(u_np, u_np[np.asarray(bnd_j)])
+    return row_idx, col_idx
+
+
+def _blocked_obs_sweep(obs, vu0, pvu, cam: CameraParam, mp: MapperParam,
+                       op: ObsGPParam):
+    """Gate + probe ObsGP posteriors via the cell-blocked evaluator.
+
+    Groups the [M, N] pixel grid by static owning cell. Gate queries sit
+    exactly in their cell (roff=0); probes displace vu by at most
+    ~delx/min_range + |vu|*delx/min_range, well under one cell span for
+    the production geometry, so roff=1 covers every valid pixel's probes.
+    Returns (var0 [M, N], prinv0 [M, N, 6], pvar [M, N, 6]).
+    """
+    import numpy as np
+
+    m, n = vu0.shape[:2]
+    row_idx, col_idx = _grid_ownership(cam, mp, op)
+    ng0, w0 = row_idx.shape
+    ng1, w1 = col_idx.shape
+    rc = jnp.asarray(np.clip(row_idx, 0, m - 1))
+    cc = jnp.asarray(np.clip(col_idx, 0, n - 1))
+    qmask = jnp.asarray((row_idx >= 0)[:, None, :, None]
+                        & (col_idx >= 0)[None, :, None, :])  # [g0,g1,W0,W1]
+
+    def group(arr):
+        """[M, N, ...] -> [nG0, nG1, W0*W1, ...] by ownership."""
+        g1 = arr[rc]                       # [g0, W0, N, ...]
+        g2 = g1[:, :, cc]                  # [g0, W0, g1, W1, ...]
+        g2 = jnp.moveaxis(g2, 2, 1)        # [g0, g1, W0, W1, ...]
+        return g2.reshape((ng0, ng1, w0 * w1) + arr.shape[2:])
+
+    # scatter-back pixel ids (static)
+    pid_np = np.where(
+        (row_idx >= 0)[:, None, :, None] & (col_idx >= 0)[None, :, None, :],
+        np.clip(row_idx, 0, m - 1)[:, None, :, None] * n
+        + np.clip(col_idx, 0, n - 1)[None, :, None, :], m * n)
+    pid = jnp.asarray(pid_np.reshape(ng0, ng1, w0 * w1))
+
+    def scatter(vals, init):
+        """[g0, g1, T, ...] -> [M*N, ...] by pixel id (pad row dropped)."""
+        ext = jnp.concatenate(
+            [init, jnp.zeros((1,) + init.shape[1:], init.dtype)])
+        flat = vals.reshape((-1,) + vals.shape[3:])
+        return ext.at[pid.reshape(-1)].set(flat, mode='drop')[:-1]
+
+    # ---- gate ----
+    qg = group(vu0)                                    # [g0,g1,T,2]
+    _, varg = obsgp.obsgp2d_test_blocked(obs, qg, op, roff=0)
+    var0 = scatter(varg, jnp.full((m * n,), 1e6, vu0.dtype)).reshape(m, n)
+
+    # ---- probes (6 per pixel) ----
+    qp = group(pvu)                                    # [g0,g1,T,6,2]
+    qp = qp.reshape(ng0, ng1, w0 * w1 * 6, 2)
+    mnp, varp = obsgp.obsgp2d_test_blocked(obs, qp, op, roff=1)
+    mnp = mnp.reshape(ng0, ng1, w0 * w1, 6)
+    varp = varp.reshape(ng0, ng1, w0 * w1, 6)
+    prinv0 = scatter(mnp, jnp.zeros((m * n, 6), vu0.dtype)).reshape(m, n, 6)
+    pvar = scatter(varp, jnp.full((m * n, 6), 1e6,
+                                  vu0.dtype)).reshape(m, n, 6)
+    return var0, prinv0, pvar
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "mp", "op", "chunk",
+                                             "blocked"))
 def newmeas_3d(obs: obsgp.ObsGP2DState, prep: Preproc3D, rot: jnp.ndarray,
                mp: MapperParam, op: ObsGPParam,
-               chunk: int = 4096) -> NewMeas3D:
+               chunk: int = 4096, cam: CameraParam = None,
+               blocked: bool = False) -> NewMeas3D:
     """Batched evalPoints (GPisMap3.cpp:580-696).
 
     Outputs are flattened in the reference's pixel iteration order
     (column-major: outer col, inner row; GPisMap3.cpp:586-589) so the host
     insertion replay preserves dedup order.
+
+    blocked=True (requires cam) routes the ~537k ObsGP posteriors through
+    the cell-blocked evaluator (see _blocked_obs_sweep) — same math,
+    HBM-traffic-bound gather replaced by dense MXU matmuls.
     """
     m, n = prep.valid.shape
     w = 1.0 / 6.0
 
     vu0 = jnp.stack([jnp.broadcast_to(prep.v[:, None], (m, n)),
                      jnp.broadcast_to(prep.u[None, :], (m, n))], -1)
-    _, var0 = obsgp.obsgp2d_test(obs, vu0.reshape(-1, 2), op, chunk)
-    gate = prep.valid & (var0.reshape(m, n) <= mp.obs_var_thre)
-
     pert = jnp.asarray([[1., 0., 0.], [-1., 0., 0.], [0., 1., 0.],
                         [0., -1., 0.], [0., 0., 1.], [0., 0., -1.]],
                        prep.z.dtype) * mp.delx
     ppos = prep.xyz_local[:, :, None, :] + pert[None, None]   # [M,N,6,3]
     pz = jnp.where(jnp.abs(ppos[..., 2]) > 1e-12, ppos[..., 2], 1e-12)
     pvu = jnp.stack([ppos[..., 1] / pz, ppos[..., 0] / pz], -1)
-    prinv0, pvar = obsgp.obsgp2d_test(obs, pvu.reshape(-1, 2), op, chunk)
-    prinv0 = prinv0.reshape(m, n, 6)
-    pvar = pvar.reshape(m, n, 6)
+
+    if blocked:
+        var0, prinv0, pvar = _blocked_obs_sweep(obs, vu0, pvu, cam, mp, op)
+    else:
+        _, var0 = obsgp.obsgp2d_test(obs, vu0.reshape(-1, 2), op, chunk)
+        var0 = var0.reshape(m, n)
+        prinv0, pvar = obsgp.obsgp2d_test(obs, pvu.reshape(-1, 2), op,
+                                          chunk)
+        prinv0 = prinv0.reshape(m, n, 6)
+        pvar = pvar.reshape(m, n, 6)
+    gate = prep.valid & (var0 <= mp.obs_var_thre)
     probe_ok = jnp.all(pvar <= mp.obs_var_thre, -1)
     pocc = occ_test(1.0 / pz, prinv0, ppos[..., 2] * 30.0)
     occ_mean = w * jnp.sum(pocc, -1)
@@ -403,13 +512,16 @@ def newmeas_3d(obs: obsgp.ObsGP2DState, prep: Preproc3D, rot: jnp.ndarray,
                      grad_noise=colmajor(gnoise))
 
 
-@functools.partial(jax.jit, static_argnames=("cam", "mp", "op", "chunk"))
+@functools.partial(jax.jit, static_argnames=("cam", "mp", "op", "chunk",
+                                             "blocked"))
 def frame_compute_3d(depth: jnp.ndarray, tr: jnp.ndarray, rot: jnp.ndarray,
                      cam: CameraParam, mp: MapperParam, op: ObsGPParam,
-                     chunk: int = 4096):
+                     chunk: int = 4096, blocked: bool = None):
     """Fused tree-independent frame stages (see mapper2d.frame_compute_2d).
     """
+    if blocked is None:
+        blocked = _obs_blocked_default()
     prep = preprocess_3d(depth, tr, rot, cam, mp)
     obs = obsgp.fit_obsgp2d(prep.v, prep.u, prep.zinv, op)
-    nm = newmeas_3d(obs, prep, rot, mp, op, chunk)
+    nm = newmeas_3d(obs, prep, rot, mp, op, chunk, cam=cam, blocked=blocked)
     return prep, obs, nm

@@ -44,8 +44,15 @@ import os as _os
 
 # Base-case panel width (sequential loop steps = n / PW). 8 measured best
 # on TPU v5e (4/8/16 sweep, tools/device_profile.py retrain stage);
-# GPISMAP_CHOL_PW overrides for tuning.
+# GPISMAP_CHOL_PW overrides for tuning. Read ONCE at import (the base
+# cases close over it as a static trip count); set it before importing.
 PW = int(_os.environ.get("GPISMAP_CHOL_PW", "8"))
+if not (1 <= PW <= 128) or 128 % PW != 0:
+    raise ValueError(
+        f"GPISMAP_CHOL_PW={PW} invalid: the base cases run over 128-wide "
+        "diagonal blocks in n/PW panel steps, so PW must divide 128 "
+        "(1,2,4,8,16,32,64,128); other values silently leave trailing "
+        "columns unfactorized.")
 
 
 def _chol_base(d):

@@ -1,1 +1,1 @@
-from .mesh import data_mesh, dryrun_update_step, sharded_map_test  # noqa: F401
+from .mesh import data_mesh, sharded_map_test  # noqa: F401

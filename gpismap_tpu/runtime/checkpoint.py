@@ -47,4 +47,5 @@ def load(mapper, path: str) -> None:
     mapper.store = cluster.ClusterStore(**fields)
     mapper.frame = int(d["frame"])
     mapper._factors = None
+    mapper._factors_slots = None
     mapper._rebuild_grid()

@@ -1,0 +1,74 @@
+"""Incremental factor-cache maintenance (api._refresh_factors).
+
+The reference keeps each cluster cell's Cholesky factor alive between
+updates and swaps in a fresh one only when the cell retrains
+(OnGPIS.h `L`; quadtree.cpp:438-441). The incremental cache must be
+indistinguishable from a from-scratch factorization of the live set.
+"""
+import numpy as np
+import jax.numpy as jnp
+
+
+def _fresh_factors(m):
+    from gpismap_tpu.models import cluster
+
+    live = m._live_slots()
+    pad = np.full(m.cap.test_active_cells, -1, np.int32)
+    pad[:len(live)] = live
+    return cluster.factorize_slots(m.store, jnp.asarray(pad),
+                                   m.p.map_scale_param,
+                                   m.cap.test_active_cells)
+
+
+def test_incremental_factor_cache_matches_fresh():
+    from gpismap_tpu import datasets
+    from gpismap_tpu.api import GPisMap2D
+
+    m = GPisMap2D()
+    fr = list(datasets.gazebo_frames())[0]
+    m.update(fr.thetas, fr.ranges, fr.pose)
+    q = np.asarray(np.random.default_rng(0).uniform(-3, 3, (32, 2)),
+                   np.float32)
+    m.test(q)                       # fills the cache
+    assert m._factors is not None
+    uniq_before = m._factors[1]
+
+    # re-ingesting the same scan dedups every insert -> slot set unchanged
+    # -> the retrain must refresh the cache incrementally, not drop it
+    m.update(fr.thetas, fr.ranges, fr.pose)
+    assert m._factors is not None, "incremental path did not run"
+    assert m._factors[1] is uniq_before, "cache was rebuilt, not updated"
+
+    linv_fresh, uniq_fresh = _fresh_factors(m)
+    np.testing.assert_array_equal(np.asarray(m._factors[1]),
+                                  np.asarray(uniq_fresh))
+    np.testing.assert_allclose(np.asarray(m._factors[0]),
+                               np.asarray(linv_fresh), rtol=1e-5,
+                               atol=1e-5)
+
+    # and test() results through the incremental cache match a fresh map
+    r_cached = m.test(q)
+    m._factors = None
+    m._factors_slots = None
+    r_fresh = m.test(q)
+    np.testing.assert_allclose(r_cached, r_fresh, rtol=1e-5, atol=1e-5)
+
+
+def test_factor_cache_invalidated_on_slot_set_change():
+    from gpismap_tpu import datasets
+    from gpismap_tpu.api import GPisMap2D
+
+    m = GPisMap2D()
+    frames = list(datasets.gazebo_frames())[:2]
+    m.update(frames[0].thetas, frames[0].ranges, frames[0].pose)
+    m.test(np.zeros((4, 2), np.float32))
+    assert m._factors is not None
+    # a different pose inserts nodes into new cells -> slot set changes ->
+    # the stale cache must be dropped (refilled lazily on next test)
+    m.update(frames[1].thetas, frames[1].ranges, frames[1].pose)
+    live = m._live_slots()
+    if m._factors is not None:
+        # cache survived: slot set must genuinely be unchanged
+        np.testing.assert_array_equal(m._factors_slots, live)
+    else:
+        assert m._factors_slots is None

@@ -105,6 +105,50 @@ def test_sdf_grad_wrt_scale_and_noise():
     assert abs(g) > 1e-3, "noise gradient should be non-trivial"
 
 
+def test_hypergrad_multidevice_allreduce():
+    """Hyperparameter gradient across the mesh (SURVEY §5.8 backward
+    story): the query batch is sharded over 8 devices, scale/store are
+    replicated, and jax.grad of the data-parallel loss makes XLA insert
+    the gradient all-reduce (psum over ICI on real chips). The
+    multi-device gradient must equal the single-device gradient and the
+    finite difference."""
+    import jax as _jax
+    import pytest
+    if len(_jax.devices()) < 8:
+        pytest.skip("need 8 devices")
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from gpismap_tpu.parallel import data_mesh
+
+    cap, data, grid = _circle_support()
+    cfg = _cfg(cap)
+    mesh = data_mesh(jax.devices()[:8])
+    sh = NamedSharding(mesh, P(mesh.axis_names[0]))
+    rep = NamedSharding(mesh, P())
+    rng = np.random.default_rng(0)
+    qh = np.asarray(rng.uniform(-1.5, 1.5, (64, 2)), np.float32)
+
+    def make_loss(q, data_, grid_):
+        def loss(s):
+            store = cluster.retrain_cells(
+                cluster.make_store(cap, 2), data_["slots"],
+                data_["slot_ok"], data_["x"], data_["grad"], data_["val"],
+                data_["sigx"], data_["siggrad"], data_["valid"], s)
+            f, _, vf = render.sdf_eval(store, grid_, q, cfg,
+                                       hyper=render.hyper_from_scale(s, 2))
+            return jnp.sum(f) + jnp.sum(vf)
+        return loss
+
+    g1 = float(jax.grad(make_loss(jnp.asarray(qh), data, grid))(
+        jnp.asarray(1.2, jnp.float32)))
+
+    data8 = jax.device_put(data, rep)
+    grid8 = jax.device_put(grid, rep)
+    q8 = jax.device_put(jnp.asarray(qh), sh)
+    loss8 = make_loss(q8, data8, grid8)
+    g8, fd = _check_fd(loss8, 1.2, 0.02)
+    np.testing.assert_allclose(g8, g1, rtol=1e-4, atol=1e-5)
+
+
 def test_render_depth_grad_wrt_scale():
     """d rendered-depth / d scale through marching + implicit correction
     (the north-star hyperparameter-gradient path)."""

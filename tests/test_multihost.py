@@ -61,12 +61,80 @@ print(f"MULTIHOST_OK pid={pid}", flush=True)
 """
 
 
-def test_two_process_sharded_query():
+# The full ONLINE loop across 2 controllers: every process ingests the
+# same 4 gazebo frames with the real mapper (deterministic host replay,
+# multihost.py:10-13), proves its map state equals the other controller's
+# THROUGH a collective (not just by construction), then answers a sharded
+# query batch against the replicated store.
+_UPDATE_WORKER = r"""
+import os, sys, hashlib
+pid = int(sys.argv[1]); port = sys.argv[2]
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+import jax.numpy as jnp
+from gpismap_tpu.parallel import multihost
+
+multihost.initialize(coordinator_address=f"127.0.0.1:{port}",
+                     num_processes=2, process_id=pid)
+assert jax.process_count() == 2
+mesh = multihost.global_data_mesh()
+n_local_dev = len(jax.local_devices())
+
+from gpismap_tpu import datasets
+from gpismap_tpu.api import GPisMap2D
+from gpismap_tpu.models import cluster
+
+m = GPisMap2D()
+for fr in list(datasets.gazebo_frames())[:4]:
+    m.update(fr.thetas, fr.ranges, fr.pose)
+
+# digest the full map state this controller replayed
+d = m.index.dump_nodes()
+alive = d["alive"]
+h = hashlib.sha256()
+for k in ("pos", "val", "grad", "pos_sig", "grad_sig"):
+    h.update(np.ascontiguousarray(d[k][alive]).tobytes())
+h.update(np.asarray(m.store.alpha).tobytes())
+h.update(np.asarray(m.store.trained).tobytes())
+
+# cross-controller equality via a real collective: shard both digests
+# over the global mesh, reduce max-min per byte -> all zeros iff equal
+dg = np.frombuffer(h.digest(), np.uint8).astype(np.float32)
+rows = np.repeat(dg[None], n_local_dev, 0)
+g = multihost.global_query_array(mesh, rows)
+spread = jax.jit(lambda a: jnp.max(a, 0) - jnp.min(a, 0))(g)
+assert np.asarray(spread).max() == 0.0, "controllers diverged"
+print(f"REPLAY_IDENTICAL pid={pid} nodes={int(alive.sum())}", flush=True)
+
+# sharded query against the replicated store (the serving path)
+xtest, _ = datasets.gazebo_test_grid()
+qp = 2048
+xq = np.full((qp, 2), 1e6, np.float32)
+xq[:qp] = xtest[::24][:qp]
+local_q = xq[pid * (qp // 2):(pid + 1) * (qp // 2)]
+
+g_store, g_grid = multihost.replicate(mesh, (m.store, m.grid))
+g_q = multihost.global_query_array(mesh, local_q)
+f8, _, v8, _, _ = cluster.map_test_sharded(g_store, g_grid, g_q,
+                                           mesh=mesh, **m._test_kwargs())
+f_loc = multihost.local_rows(f8)
+v_loc = multihost.local_rows(v8)
+
+ref = m.test(xq)                 # local single-process reference
+sl = slice(pid * (qp // 2), (pid + 1) * (qp // 2))
+np.testing.assert_allclose(f_loc, ref[sl, 0], rtol=1e-5, atol=1e-5)
+np.testing.assert_allclose(v_loc, ref[sl, 3], rtol=1e-5, atol=1e-5)
+print(f"MULTIHOST_UPDATE_OK pid={pid}", flush=True)
+"""
+
+
+def _run_two_process(worker_src, ok_marker, timeout=600):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     tests = os.path.join(repo, "tests")
     worker = os.path.join(tests, "_multihost_worker.py")
     with open(worker, "w") as fh:
-        fh.write(_WORKER)
+        fh.write(worker_src)
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = str(s.getsockname()[1])
@@ -81,7 +149,7 @@ def test_two_process_sharded_query():
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=300)
+            out, _ = p.communicate(timeout=timeout)
             outs.append(out)
     except subprocess.TimeoutExpired:
         for p in procs:
@@ -89,4 +157,20 @@ def test_two_process_sharded_query():
         pytest.fail("multihost workers timed out:\n" + "\n".join(outs))
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out}"
-        assert f"MULTIHOST_OK pid={pid}" in out, out
+        assert f"{ok_marker} pid={pid}" in out, out
+    return outs
+
+
+def test_two_process_sharded_query():
+    _run_two_process(_WORKER, "MULTIHOST_OK", timeout=300)
+
+
+@pytest.mark.slow
+def test_two_process_online_update_loop():
+    """Executes the multihost.py:10-13 claim: the deterministic host
+    replay keeps both controllers' maps identical (checked through a
+    collective on a state digest), and the replicated store then serves a
+    sharded query batch matching each controller's local reference."""
+    outs = _run_two_process(_UPDATE_WORKER, "MULTIHOST_UPDATE_OK")
+    for out in outs:
+        assert "REPLAY_IDENTICAL" in out, out

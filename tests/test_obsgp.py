@@ -174,3 +174,84 @@ def test_obsgp2d_matches_naive():
     ok = v < 1e5
     np.testing.assert_allclose(m[ok], m_ref[ok], rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(v[ok], v_ref[ok], rtol=2e-3, atol=2e-3)
+
+
+def test_obsgp2d_blocked_matches_gather():
+    """The cell-blocked evaluator (obsgp2d_test_blocked) must reproduce
+    the gather path exactly on a REAL frame: same cell lookup, margins,
+    sentinels; values to f32 matmul tolerance. Also verifies the roff=1
+    coverage assumption: no valid pixel's probe hops more than one cell
+    from its pixel's static owning cell."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    from gpismap_tpu import datasets
+    from gpismap_tpu.config import MAPPER_3D, OBSGP_2D, CameraParam
+    from gpismap_tpu.models import mapper3d, obsgp
+
+    try:
+        fr = next(datasets.bigbird_frames())
+    except FileNotFoundError:
+        pytest.skip("bigbird data not available")
+    from gpismap_tpu.config import BIGBIRD_CAMS
+    cam = BIGBIRD_CAMS[fr.cam_id - 1]
+    pose = np.asarray(fr.pose, np.float32).reshape(-1)
+    tr, rot = pose[:3], pose[3:12].reshape(3, 3, order="F")
+
+    prep = mapper3d.preprocess_3d(jnp.asarray(fr.depth, jnp.float32),
+                                  jnp.asarray(tr), jnp.asarray(rot), cam,
+                                  MAPPER_3D)
+    obs = obsgp.fit_obsgp2d(prep.v, prep.u, prep.zinv, OBSGP_2D)
+
+    nm_g = mapper3d.newmeas_3d(obs, prep, jnp.asarray(rot), MAPPER_3D,
+                               OBSGP_2D, cam=cam, blocked=False)
+    nm_b = mapper3d.newmeas_3d(obs, prep, jnp.asarray(rot), MAPPER_3D,
+                               OBSGP_2D, cam=cam, blocked=True)
+
+    np.testing.assert_array_equal(np.asarray(nm_g.insert_ok),
+                                  np.asarray(nm_b.insert_ok))
+    ok = np.asarray(nm_g.insert_ok)
+    np.testing.assert_allclose(np.asarray(nm_g.pos)[ok],
+                               np.asarray(nm_b.pos)[ok], rtol=1e-6,
+                               atol=1e-6)
+    # grad/noise come from finite differences of the posterior mean
+    # (divided by delx = 1e-3), which amplifies f32 reduction-order
+    # noise ~1000x; tolerance sized accordingly
+    for name in ("grad", "noise", "grad_noise"):
+        a = np.asarray(getattr(nm_g, name))[ok]
+        b = np.asarray(getattr(nm_b, name))[ok]
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-3,
+                                   err_msg=name)
+        assert np.median(np.abs(a - b)) < 1e-4, name
+
+    # coverage: every valid pixel's probe lands within +-1 cell of the
+    # pixel's static owning cell (the roff=1 guarantee)
+    m, n = prep.valid.shape
+    row_idx, col_idx = mapper3d._grid_ownership(cam, MAPPER_3D, OBSGP_2D)
+    a_of_row = np.full(m, -1)
+    for a, rows in enumerate(row_idx):
+        a_of_row[rows[rows >= 0]] = a
+    b_of_col = np.full(n, -1)
+    for b, cols in enumerate(col_idx):
+        b_of_col[cols[cols >= 0]] = b
+
+    pert = np.asarray([[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0],
+                       [0, 0, 1], [0, 0, -1]], np.float32) * MAPPER_3D.delx
+    loc = np.asarray(prep.xyz_local)
+    ppos = loc[:, :, None, :] + pert[None, None]
+    pz = np.where(np.abs(ppos[..., 2]) > 1e-12, ppos[..., 2], 1e-12)
+    pv = ppos[..., 1] / pz
+    pu = ppos[..., 0] / pz
+    val_i = np.asarray(obs.val_i)
+    val_j = np.asarray(obs.val_j)
+    ng0, ng1 = len(val_i) - 1, len(val_j) - 1
+    a_true = np.clip((val_i[None, None, None, 1:]
+                      <= pv[..., None]).sum(-1), 0, ng0 - 1)
+    b_true = np.clip((val_j[None, None, None, 1:]
+                      <= pu[..., None]).sum(-1), 0, ng1 - 1)
+    valid = np.asarray(prep.valid)
+    da = np.abs(a_true - a_of_row[:, None, None])[valid]
+    db = np.abs(b_true - b_of_col[None, :, None])[valid]
+    assert da.max() <= 1 and db.max() <= 1, (da.max(), db.max())

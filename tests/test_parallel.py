@@ -10,16 +10,6 @@ def _need_devices(n):
         pytest.skip(f"need {n} devices")
 
 
-def test_dryrun_update_step_8dev():
-    _need_devices(8)
-    from gpismap_tpu.parallel import data_mesh, dryrun_update_step
-
-    mesh = data_mesh(jax.devices()[:8])
-    stats = dryrun_update_step(mesh, nbeams=64, nnodes=64, ncells=8,
-                               support=8)
-    assert np.isfinite(np.asarray(stats)).all()
-
-
 def _circle_map():
     """Unit-circle cluster-GP map (store, grid, map_test kwargs) shared by
     the sharded-vs-single tests."""
@@ -136,6 +126,50 @@ def test_mapper2d_sharded_full_sequence_golden():
     df = np.abs(res[both, 0] - ref[both, 0])
     assert np.median(df) < 2e-3, np.median(df)
     assert np.percentile(df, 95) < 2e-2, np.percentile(df, 95)
+
+
+@pytest.mark.slow
+def test_mapper3d_sharded_four_frames_golden():
+    """GPisMap3D(mesh=...) over the first 4 bigbird frames vs the captured
+    reference golden — the 3D twin of
+    test_mapper2d_sharded_full_sequence_golden (the reference threads both
+    mappers, GPisMap3.cpp:720-792,904-949). Exercises the 3D sharded
+    reeval/retrain paths and _retrain_store's mesh bucket floor."""
+    _need_devices(8)
+    import os
+
+    from gpismap_tpu import datasets
+    from gpismap_tpu.api3d import GPisMap3D
+
+    p = os.path.join(os.path.dirname(__file__), "goldens",
+                     "golden_3d_f4.npz")
+    if not os.path.exists(p):
+        pytest.skip("golden_3d_f4.npz not captured")
+    g = np.load(p)
+    xtest = g["xtest"][::16]
+    ref = g["res"][::16]
+
+    m = GPisMap3D(mesh=_mesh8())
+    assert m.reeval_mode == "fused"
+    for fr in list(datasets.bigbird_frames())[:4]:
+        m.set_camera(fr.cam_id, "bigbird")
+        m.update(fr.depth, fr.pose)
+
+    if "nodes" in g:
+        ours = m.get_all_points()
+        assert abs(len(ours) - len(g["nodes"])) <= max(
+            3, len(g["nodes"]) // 100)
+
+    res = m.test(xtest)
+    mapped_ref = ref[:, 4] < 1.0
+    mapped = res[:, 4] < 1.0
+    agree = (mapped_ref == mapped).mean()
+    # same bar as the single-device 4-frame fused test (test_parity.py)
+    assert agree > 0.99, f"mapped agreement {agree}"
+    both = mapped_ref & mapped
+    df = np.abs(res[both, 0] - ref[both, 0])
+    assert np.median(df) < 5e-3, np.median(df)
+    assert np.percentile(df, 95) < 5e-2
 
 
 def test_sharded_render_matches_single():

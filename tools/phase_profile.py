@@ -9,7 +9,7 @@ times each phase as its own jitted program on the REAL post-sequence
 map state (28-frame gazebo build) so optimization effort lands where the
 device time actually is.
 
-Usage: python tools/test_phase_profile.py [--reps K] [--cpu]
+Usage: python tools/phase_profile.py [--reps K] [--cpu]
 """
 import argparse
 import json
@@ -46,8 +46,6 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/tmp/gpismap_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    import functools
-
     import jax.numpy as jnp
 
     from gpismap_tpu import datasets
@@ -124,9 +122,11 @@ def main():
     def phase_eval(plan_, q_):
         def eval_tile(segs, pids):
             qt = q_[jnp.clip(pids, 0) // 3]
+            # identical constants to api.test() (api.py:474-475) so the
+            # profiled program is the production tile-eval, not a drift
             return cluster._ongpis_eval_tile(
                 store, linv_buf, slot_of, segs, qt, p.map_scale_param,
-                1.01, 3.0 / p.map_scale_param**2 + 0.1)
+                1.01, p.three_over_scale + 0.1)
         out0 = (jnp.zeros((3 * q_.shape[0],), q_.dtype),
                 jnp.zeros((3 * q_.shape[0], 2), q_.dtype),
                 jnp.full((3 * q_.shape[0],), jnp.inf, q_.dtype),
@@ -135,7 +135,6 @@ def main():
 
     t, _ = _timed(phase_eval, args.reps, plan, q)
     res["tile_eval_xla_scan_ms"] = round(t * 1e3, 2)
-    del functools
     print(json.dumps(res))
 
 
