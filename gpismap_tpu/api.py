@@ -74,6 +74,24 @@ class _MeshMixin:
         if self.mesh is not None:
             self.store = jax.device_put(self.store, self._sh_rep)
 
+    # -- newmeas apply (shared by both mappers) ------------------------
+    def _apply_newmeas(self, nm) -> int:
+        """Step 3 host apply: dedup + insert new hits (GPisMap.cpp:492-568).
+        Returns the number of inserted nodes."""
+        ok = np.asarray(nm.insert_ok)
+        if not ok.any():
+            return 0
+        cand = np.asarray(nm.pos)[ok]
+        ids = self.index.try_insert(cand)
+        ins = ids >= 0
+        if ins.any():
+            self.index.set_node_data(
+                ids[ins], np.full(ins.sum(), -self.p.fbias, np.float32),
+                np.asarray(nm.noise)[ok][ins],
+                np.asarray(nm.grad)[ok][ins],
+                np.asarray(nm.grad_noise)[ok][ins])
+        return int(ins.sum())
+
     # -- factor cache (shared by both mappers) -------------------------
     def _live_slots(self) -> np.ndarray:
         """Sorted live cluster slots (the current factor-cache key)."""
@@ -364,19 +382,7 @@ class GPisMap2D(_MeshMixin):
 
         # Step 3 apply: insert new measurements
         nm = jax.device_get(nm)
-        ok = np.asarray(nm.insert_ok)
-        n_new = 0
-        if ok.any():
-            cand = np.asarray(nm.pos)[ok]
-            ids = self.index.try_insert(cand)
-            ins = ids >= 0
-            n_new = int(ins.sum())
-            if ins.any():
-                self.index.set_node_data(
-                    ids[ins], np.full(ins.sum(), -self.p.fbias, np.float32),
-                    np.asarray(nm.noise)[ok][ins],
-                    np.asarray(nm.grad)[ok][ins],
-                    np.asarray(nm.grad_noise)[ok][ins])
+        n_new = self._apply_newmeas(nm)
 
         # Step 4: retrain touched cluster GPs (GPisMap.cpp:596-663)
         _t1 = _time.time()
@@ -390,6 +396,94 @@ class GPisMap2D(_MeshMixin):
             update_s=round(_time.time() - _t0, 4),
             retrain_s=round(_time.time() - _t1, 4))
         self.frame += 1
+
+    def update_batch(self, frames) -> None:
+        """Pipelined multi-frame ingestion — semantically the per-frame
+        update() loop (snapshot re-evaluation), restructured for a
+        remote/tunneled device: the tree-independent device program of
+        EVERY frame (preprocess + obs fit + new-measurement evaluation,
+        mapper2d.frame_compute_2d) is dispatched up front, so all of its
+        device time and argument upload overlaps the one blocking
+        round trip per frame (re-evaluation pull -> host tree replay)
+        instead of serializing with it. The per-frame wall clock drops
+        to ~max(RTT, device_reeval) + replay.
+
+        frames: iterable of (thetas, ranges, pose6) — the reference demo
+        loop's per-frame arguments (demo_gpisMap.m:42-51).
+        """
+        import time as _time
+        if self.strict_reeval:
+            for th, rg, pose in frames:
+                self.update(th, rg, pose)
+            return
+        pend = []
+        for th, rg, pose in frames:
+            th = np.asarray(th, np.float32).reshape(-1)
+            rg = np.asarray(rg, np.float32).reshape(-1)
+            pose = np.asarray(pose, np.float32).reshape(-1)
+            tr = pose[:2]
+            rot = pose[2:6].reshape(2, 2, order="F")
+            nb = _next_pow2(len(th))
+            th_p = np.zeros(nb, np.float32)
+            rg_p = np.zeros(nb, np.float32)
+            th_p[:len(th)] = th
+            rg_p[:len(rg)] = rg
+            validh = (rg_p > self.p.min_range) & (rg_p < self.p.max_range)
+            n_valid = int(validh.sum())
+            if n_valid <= 1:
+                pend.append(None)
+                continue
+            rmax = float(rg_p[validh].max())
+            g_max = nb // self.op.group_size + 2
+            _, obs, nm = mapper2d.frame_compute_2d(
+                self._dev(th_p, shard=True), self._dev(rg_p, shard=True),
+                self._dev(tr), self._dev(rot), self.p, self.op,
+                g_max=g_max)
+            pend.append((tr, rot, rmax, n_valid, obs, nm))
+
+        for item in pend:
+            if item is None:
+                continue
+            _t0 = _time.time()
+            tr, rot, rmax, n_valid, obs, nm = item
+            node_ids = self._inview_node_ids(tr, rot, rmax)
+            n = len(node_ids)
+            rv = None
+            if n:
+                k = _next_pow2(n)
+                sel = np.full(k, -1, np.int32)
+                sel[:n] = node_ids
+                d = self.index.get_nodes(sel)
+                valid = np.zeros(k, bool)
+                valid[:n] = True
+                rv = mapper2d.reeval_2d(
+                    obs, self._dev(d["pos"], shard=True),
+                    self._dev(d["grad"], shard=True),
+                    self._dev(d["pos_sig"], shard=True),
+                    self._dev(d["grad_sig"], shard=True),
+                    self._dev(valid, shard=True), self._dev(tr),
+                    self._dev(rot), self.p, self.op)
+            rv, nm = jax.device_get((rv, nm))   # ONE blocking pull/frame
+            if n:
+                self.index.apply_reeval(
+                    node_ids, np.asarray(rv.action)[:n],
+                    np.asarray(rv.pos)[:n], np.asarray(rv.grad)[:n],
+                    np.asarray(rv.noise)[:n],
+                    np.asarray(rv.grad_noise)[:n],
+                    np.asarray(rv.dbl_pos_sig)[:n],
+                    np.asarray(rv.dbl_grad_sig)[:n], -self.p.fbias)
+            n_new = self._apply_newmeas(nm)
+            _t1 = _time.time()
+            self._update_gps()
+            self.stats.update(
+                frame=self.frame, n_valid_beams=n_valid,
+                n_nodes=self.index.num_nodes,
+                n_cluster_cells=int(self.index.max_slot),
+                new_inserted=n_new,
+                support_overflow=int(self.index.overflow_count),
+                update_s=round(_time.time() - _t0, 4),
+                retrain_s=round(_time.time() - _t1, 4))
+            self.frame += 1
 
     # ------------------------------------------------------------------
     def _inview_cells(self, tr, rot, rmax):

@@ -53,7 +53,11 @@ class GPisMap3D(_MeshMixin):
         # to the 0.05 m cluster size, so nodes cross cell boundaries often
         # enough that snapshot batching visibly shifts the node set —
         # strict per-cell order matters. Modes:
-        #   'fused'   (default) — strict per-cell order executed as ONE
+        #   'hybrid'  (default) — strict-order semantics as one vectorized
+        #             pass + mover fix-up rounds (mapper3d.reeval_hybrid_3d;
+        #             observably equal to 'fused' at a fraction of the
+        #             sequential depth).
+        #   'fused'   — strict per-cell order executed as ONE lax.scan
         #             device program (mapper3d.reeval_scan_3d); tree
         #             mutations applied on host at frame end.
         #   'strict'  — exact host replay: one dispatch per kept cell,
@@ -61,8 +65,8 @@ class GPisMap3D(_MeshMixin):
         #   'snapshot'— single-batch re-evaluation of a start-of-frame
         #             snapshot (the 2D default; fastest, loosest).
         if reeval_mode is None:
-            reeval_mode = "fused" if strict_reeval else "snapshot"
-        if reeval_mode not in ("strict", "fused", "snapshot"):
+            reeval_mode = "hybrid" if strict_reeval else "snapshot"
+        if reeval_mode not in ("strict", "fused", "hybrid", "snapshot"):
             raise ValueError(f"unknown reeval_mode {reeval_mode!r}")
         self.reeval_mode = reeval_mode
         self.strict_reeval = reeval_mode != "snapshot"
@@ -140,17 +144,7 @@ class GPisMap3D(_MeshMixin):
 
         self._update_map_points(obs, float(rmax), tr, rot)
 
-        ok = np.asarray(nm.insert_ok)
-        if ok.any():
-            cand = np.asarray(nm.pos)[ok]
-            ids = self.index.try_insert(cand)
-            ins = ids >= 0
-            if ins.any():
-                self.index.set_node_data(
-                    ids[ins], np.full(ins.sum(), -self.p.fbias, np.float32),
-                    np.asarray(nm.noise)[ok][ins],
-                    np.asarray(nm.grad)[ok][ins],
-                    np.asarray(nm.grad_noise)[ok][ins])
+        self._apply_newmeas(nm)
 
         _t1 = _time.time()
         self._update_gps()
@@ -162,13 +156,88 @@ class GPisMap3D(_MeshMixin):
             retrain_s=round(_time.time() - _t1, 4))
         self.frame += 1
 
-    # ------------------------------------------------------------------
-    def _update_map_points(self, obs, rmax: float, tr, rot):
-        if self.index.num_nodes == 0:
+    def _host_gate(self, depth: np.ndarray):
+        """Host replica of preprocess_3d's range gate (GPisMap3.cpp:176-210)
+        so the batch path needs no device pull for (n_valid, rmax)."""
+        skip = self.p.obs_skip
+        mrow = self.cam.height // skip
+        ncol = self.cam.width // skip
+        z = depth[::skip, ::skip][:mrow, :ncol].astype(np.float32)
+        valid = (z > self.p.min_range) & (z < self.p.max_range)
+        rmax = float(np.max(np.where(valid, z, 0.0)))
+        return int(valid.sum()), rmax
+
+    def update_batch(self, frames) -> None:
+        """Pipelined multi-frame ingestion (see GPisMap2D.update_batch).
+
+        frames: iterable of (depth, pose12) or (depth, pose12, cam) with
+        cam a CameraParam or 1-based bigbird camera id. Every frame's
+        tree-independent program (frame_compute_3d: preprocess + ObsGP2D
+        fit + new-measurement evaluation — the dominant device cost,
+        BASELINE.md) is dispatched up front; the per-frame blocking pull
+        fetches the fused re-evaluation AND the new-measurement results
+        together, so device compute overlaps the tunnel round trip and
+        the host tree replay. Supported for the default 'fused'
+        re-evaluation mode; 'strict' falls back to per-frame update().
+        """
+        import time as _time
+        frames = list(frames)
+        if self.reeval_mode == "strict":
+            for f in frames:
+                if len(f) > 2:
+                    self.set_camera(f[2])
+                self.update(f[0], f[1])
             return
+        pend = []
+        for f in frames:
+            if len(f) > 2:
+                self.set_camera(f[2])
+            depth = np.asarray(f[0], np.float32)
+            pose = np.asarray(f[1], np.float32).reshape(-1)
+            tr = pose[:3]
+            rot = pose[3:12].reshape(3, 3, order="F")
+            nv, rmax = self._host_gate(depth)
+            if nv <= 1:
+                pend.append(None)
+                continue
+            prep, obs, nm = mapper3d.frame_compute_3d(
+                self._dev(depth), self._dev(tr), self._dev(rot), self.cam,
+                self.p, self.op)
+            pend.append((tr, rot, rmax, obs, nm))
+
+        for item in pend:
+            if item is None:
+                continue
+            _t0 = _time.time()
+            tr, rot, rmax, obs, nm = item
+            kept = self._cull_cells(rmax, tr, rot)
+            disp = (self._dispatch_reeval_fused(obs, kept, tr, rot)
+                    if len(kept) else None)
+            if disp is not None:
+                node_ids, rv, drop = disp
+                rv, drop, nm = jax.device_get((rv, drop, nm))  # ONE pull
+                self._apply_reeval_fused(node_ids, rv, drop)
+            else:
+                nm = jax.device_get(nm)                        # ONE pull
+            self._apply_newmeas(nm)
+            _t1 = _time.time()
+            self._update_gps()
+            self.stats.update(
+                frame=self.frame, n_nodes=self.index.num_nodes,
+                n_cluster_cells=int(self.index.max_slot),
+                support_overflow=int(self.index.overflow_count),
+                update_s=round(_time.time() - _t0, 4),
+                retrain_s=round(_time.time() - _t1, 4))
+            self.frame += 1
+
+    # ------------------------------------------------------------------
+    def _cull_cells(self, rmax: float, tr, rot) -> np.ndarray:
+        """Range + frustum cell culls (GPisMap3.cpp:276-301)."""
+        if self.index.num_nodes == 0:
+            return np.zeros(0, np.int32)
         cells, _ = self.index.query_cluster_cells(tr, rmax, cap=65536)
         if len(cells) == 0:
-            return
+            return cells
         centers, halfs, _ = self.index.cell_info(cells)
         sqr = np.sum((centers - tr) ** 2, -1)
         keep = sqr <= rmax * rmax + 2.0 * halfs * halfs
@@ -191,36 +260,32 @@ class GPisMap3D(_MeshMixin):
         for c in range(8):                             # replay overwrite
             within = np.where(front[:, c], vis[:, c], within)
         keep &= within
-        if not keep.any():
+        return cells[keep]
+
+    def _update_map_points(self, obs, rmax: float, tr, rot):
+        kept = self._cull_cells(rmax, tr, rot)
+        if len(kept) == 0:
             return
         if self.reeval_mode == "strict":
-            for c in cells[keep]:
+            for c in kept:
                 self._reeval_apply(obs, self.index.cell_nodes(c), tr, rot)
-        elif self.reeval_mode == "fused":
-            self._reeval_fused(obs, cells[keep], tr, rot)
+        elif self.reeval_mode in ("fused", "hybrid"):
+            self._reeval_fused(obs, kept, tr, rot)
         else:
-            node_ids = [self.index.cell_nodes(c) for c in cells[keep]]
+            node_ids = [self.index.cell_nodes(c) for c in kept]
             node_ids = np.concatenate(node_ids) if node_ids else np.zeros(
                 0, np.int32)
             self._reeval_apply(obs, node_ids, tr, rot)
 
-    def _reeval_fused(self, obs, kept, tr, rot):
-        """Strict per-cell re-evaluation in ONE device dispatch
-        (mapper3d.reeval_scan_3d); host applies the final per-node actions
-        once at frame end."""
+    def _dispatch_reeval_fused(self, obs, kept, tr, rot):
+        """Build args + dispatch reeval_scan_3d (async). Returns
+        (node_ids, rv_handle, drop_handle) or None when no nodes."""
         lists = [self.index.cell_nodes(c) for c in kept]
         node_ids = (np.concatenate(lists) if lists
                     else np.zeros(0, np.int32))
         n = len(node_ids)
         if n == 0:
-            return
-        # static member bound per scan step: largest start-of-frame cell
-        # plus 2x headroom for mid-frame boundary crossers. Clamped to a
-        # 512 floor so the (k, kc) compile key stays stable across frames
-        # (remote TPU compiles are minutes each; CLAUDE.md) — overflow is
-        # counted, never silent.
-        kc = min(max(_next_pow2(2 * max(len(li) for li in lists)), 512),
-                 _next_pow2(n))
+            return None
         k = _next_pow2(n)
         sel = np.full(k, -1, np.int32)
         sel[:n] = node_ids
@@ -234,15 +299,29 @@ class GPisMap3D(_MeshMixin):
         cc[:len(kept)] = coords
         cok = np.zeros(cpad, bool)
         cok[:len(kept)] = True
+        args = (obs, self._dev(d["pos"]), self._dev(d["grad"]),
+                self._dev(d["pos_sig"]), self._dev(d["grad_sig"]),
+                self._dev(valid), self._dev(cc), self._dev(cok),
+                self._dev(tr), self._dev(rot), jnp.float32(self.cell_size),
+                self.p, self.op)
+        if self.reeval_mode == "hybrid":
+            rv, drop = mapper3d.reeval_hybrid_3d(
+                *args, compat=self.compat_reloc)
+        else:
+            # static member bound per scan step: largest start-of-frame
+            # cell plus 2x headroom for mid-frame boundary crossers.
+            # Clamped to a 512 floor so the (k, kc) compile key stays
+            # stable across frames (remote TPU compiles are minutes each;
+            # CLAUDE.md) — overflow is counted, never silent.
+            kc = min(max(_next_pow2(2 * max(len(li) for li in lists)), 512),
+                     _next_pow2(n))
+            rv, drop = mapper3d.reeval_scan_3d(
+                *args, compat=self.compat_reloc, kc=kc)
+        return node_ids, rv, drop
 
-        rv, drop = mapper3d.reeval_scan_3d(
-            obs, self._dev(d["pos"]), self._dev(d["grad"]),
-            self._dev(d["pos_sig"]), self._dev(d["grad_sig"]),
-            self._dev(valid), self._dev(cc), self._dev(cok),
-            self._dev(tr), self._dev(rot),
-            jnp.float32(self.cell_size), self.p, self.op,
-            compat=self.compat_reloc, kc=kc)
-        rv, drop = jax.device_get((rv, drop))    # ONE host pull
+    def _apply_reeval_fused(self, node_ids, rv, drop) -> None:
+        """Host apply of fetched reeval_scan_3d results."""
+        n = len(node_ids)
         if int(drop):
             self.stats["reeval_dropped"] = (
                 self.stats.get("reeval_dropped", 0) + int(drop))
@@ -251,6 +330,17 @@ class GPisMap3D(_MeshMixin):
             np.asarray(rv.grad)[:n], np.asarray(rv.noise)[:n],
             np.asarray(rv.grad_noise)[:n], np.asarray(rv.dbl_pos_sig)[:n],
             np.asarray(rv.dbl_grad_sig)[:n], -self.p.fbias)
+
+    def _reeval_fused(self, obs, kept, tr, rot):
+        """Strict per-cell re-evaluation in ONE device dispatch
+        (mapper3d.reeval_scan_3d); host applies the final per-node actions
+        once at frame end."""
+        disp = self._dispatch_reeval_fused(obs, kept, tr, rot)
+        if disp is None:
+            return
+        node_ids, rv, drop = disp
+        rv, drop = jax.device_get((rv, drop))    # ONE host pull
+        self._apply_reeval_fused(node_ids, rv, drop)
 
     def _reeval_apply(self, obs, node_ids, tr, rot):
         if len(node_ids) == 0:

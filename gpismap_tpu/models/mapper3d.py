@@ -332,6 +332,134 @@ def reeval_scan_3d(obs: obsgp.ObsGP2DState, pos: jnp.ndarray,
                     dbl_pos_sig=ps, dbl_grad_sig=gs), drop
 
 
+@functools.partial(jax.jit, static_argnames=("mp", "op", "chunk", "compat",
+                                             "max_movers", "rounds"))
+def reeval_hybrid_3d(obs: obsgp.ObsGP2DState, pos: jnp.ndarray,
+                     grad: jnp.ndarray, pos_sig: jnp.ndarray,
+                     grad_sig: jnp.ndarray, valid: jnp.ndarray,
+                     cell_coords: jnp.ndarray, cell_ok: jnp.ndarray,
+                     tr: jnp.ndarray, rot: jnp.ndarray, cell_size,
+                     mp: MapperParam, op: ObsGPParam, chunk: int = 4096,
+                     compat: bool = True, max_movers: int = 128,
+                     rounds: int = 4):
+    """Strict per-cell re-evaluation, restructured as ONE vectorized pass
+    + a tiny mover fix-up — observably equivalent to reeval_scan_3d
+    (the per-cell sequential order of reEvalPoints, GPisMap3.cpp:321-569)
+    at a fraction of its sequential depth.
+
+    Key fact: in the sequential order, every node's FIRST processing
+    reads frame-start state, because a node lives in exactly one cell
+    and earlier cells cannot have touched it. So pass 1 re-evaluates ALL
+    kept-cell nodes in one batch. The only second processings the strict
+    order performs are for nodes RELOCATED across a cell boundary into a
+    LATER kept cell (they re-enter a pending cell's member set,
+    GPisMap3.cpp:321-341); those (typically 0-20/frame) re-process from
+    their updated state in fix-up rounds until the chain drains
+    (`rounds` bounds the chain depth; leftovers + mover overflow are
+    counted in n_dropped, never silent).
+
+    Same signature/returns as reeval_scan_3d.
+    """
+    k = pos.shape[0]
+    c = cell_coords.shape[0]
+
+    def cell_ord(p, alv):
+        """Processing-order index of each node's current cell (c = not a
+        kept cell). Kept cells arrive in reference traversal order."""
+        kcell = jnp.floor(p / cell_size).astype(jnp.int32)
+        eq = jnp.all(kcell[:, None, :] == cell_coords[None], -1) \
+            & cell_ok[None]
+        has = jnp.any(eq, -1)
+        o = jnp.argmax(eq, -1).astype(jnp.int32)
+        return jnp.where(alv & has, o, c)
+
+    ord0 = cell_ord(pos, valid)
+    member0 = ord0 < c
+
+    # ---- pass 1: every node's first processing, one batch ----
+    rv = _reeval_core(obs, pos, grad, pos_sig, grad_sig, member0, tr, rot,
+                      mp, op, chunk, compat)
+    a = jnp.where(member0, rv.action, 0)
+    p = jnp.where((a == 3)[:, None], rv.pos, pos)
+    g = jnp.where((a == 3)[:, None], rv.grad, grad)
+    ps = jnp.where(a == 1, rv.dbl_pos_sig,
+                   jnp.where(a == 3, rv.noise, pos_sig))
+    gs = jnp.where(a == 1, rv.dbl_grad_sig,
+                   jnp.where(a == 3, rv.grad_noise, grad_sig))
+    alv = valid & (a != 2)
+    moved = a == 3
+    dbl = a == 1
+    ord1 = cell_ord(p, alv)
+    pending = moved & alv & (ord1 < c) & (ord1 > ord0)
+    drop0 = jnp.zeros((), jnp.int32)
+
+    # ---- fix-up rounds: re-process forward-movers from updated state ----
+    mchunk = max(256, min(chunk, _next_pow2_static(max_movers * 7)))
+
+    def cond(st):
+        r = st[-1]
+        return jnp.any(st[7]) & (r < rounds)
+
+    def body(st):
+        p, g, ps, gs, alv, moved, dbl, pending, drop, r = st
+        npend = jnp.sum(pending)
+        drop = drop + jnp.maximum(npend - max_movers, 0).astype(jnp.int32)
+        idx = jnp.nonzero(pending, size=max_movers, fill_value=k)[0]
+        got = idx < k
+        ic = jnp.clip(idx, 0, k - 1)
+        my_ord = cell_ord(p, alv)[ic]        # cell being processed now
+        rv = _reeval_core(obs, p[ic], g[ic], ps[ic], gs[ic], got, tr, rot,
+                          mp, op, mchunk, compat)
+        a = jnp.where(got, rv.action, 0)
+        new_p = jnp.where((a == 3)[:, None], rv.pos, p[ic])
+        new_g = jnp.where((a == 3)[:, None], rv.grad, g[ic])
+        new_ps = jnp.where(a == 1, rv.dbl_pos_sig,
+                           jnp.where(a == 3, rv.noise, ps[ic]))
+        new_gs = jnp.where(a == 1, rv.dbl_grad_sig,
+                           jnp.where(a == 3, rv.grad_noise, gs[ic]))
+        new_alv = alv[ic] & (a != 2)
+        # moved again across a boundary into a cell later than the one
+        # just processed -> pending again (chain)
+        kc_old = jnp.floor(p[ic] / cell_size).astype(jnp.int32)
+        kc_new = jnp.floor(new_p / cell_size).astype(jnp.int32)
+        crossed = jnp.any(kc_old != kc_new, -1)
+        repend = got & (a == 3) & new_alv & crossed
+
+        def scat(old, new):
+            ext = jnp.concatenate(
+                [old, jnp.zeros((1,) + old.shape[1:], old.dtype)])
+            return ext.at[idx].set(new, mode='drop')[:-1]
+
+        p2 = scat(p, new_p)
+        alv2 = scat(alv, new_alv)
+        # clear the processed flags, then re-flag chained movers:
+        # forwardness = target ord (of the node's NEW cell) > ord of the
+        # cell it was just processed in
+        pending2 = scat(pending, jnp.zeros_like(got))
+        tgt_ord = cell_ord(p2, alv2)[ic]
+        again = repend & (tgt_ord < c) & (tgt_ord > my_ord)
+        pending2 = scat(pending2, again)
+        return (p2, scat(g, new_g), scat(ps, new_ps), scat(gs, new_gs),
+                alv2, scat(moved, moved[ic] | (a == 3)),
+                scat(dbl, dbl[ic] | (a == 1)), pending2, drop, r + 1)
+
+    st0 = (p, g, ps, gs, alv, moved, dbl, pending, drop0,
+           jnp.zeros((), jnp.int32))
+    p, g, ps, gs, alv, moved, dbl, pending, drop, _ = jax.lax.while_loop(
+        cond, body, st0)
+    drop = drop + jnp.sum(pending).astype(jnp.int32)  # undrained chain
+    removed = valid & ~alv
+    action = jnp.where(removed, 2,
+                       jnp.where(moved, 3,
+                                 jnp.where(dbl, 1, 0))).astype(jnp.int32)
+    return Reeval3D(action=action, pos=p, grad=g, noise=ps, grad_noise=gs,
+                    dbl_pos_sig=ps, dbl_grad_sig=gs), drop
+
+
+def _next_pow2_static(n: int) -> int:
+    return 1 << max(0, (n - 1)).bit_length()
+
+
 class NewMeas3D(NamedTuple):
     insert_ok: jnp.ndarray   # [P] flattened column-major over (n, m)
     pos: jnp.ndarray         # [P, 3]

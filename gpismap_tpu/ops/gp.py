@@ -49,6 +49,24 @@ def _use_blocked_chol(mp: int) -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _use_blocked_base(n: int) -> bool:
+    """Small-matrix (n <= 128) panelized base cases for shapes the
+    128-blocked path can't take (the ObsGP cell size 64). Same gate and
+    rationale as _use_blocked_chol: XLA's native cholesky/triangular
+    solve pay per-column sequential latency; the PW-wide panel recursion
+    vectorized over the batch pays n/PW loop steps for the whole batch."""
+    import os
+    v = os.environ.get("GPISMAP_BLOCKED_CHOL", "auto")
+    if v in ("0", "off"):
+        return False
+    from .blocked_chol import PW
+    if n == 0 or n > 128 or n % PW:
+        return False
+    if v in ("1", "on"):
+        return True
+    return jax.default_backend() == "tpu"
+
+
 def _chol(k: jnp.ndarray) -> jnp.ndarray:
     if k.ndim == 3 and _use_pallas_chol(k.shape[-1]):
         from .pallas_chol import chol_pallas
@@ -56,6 +74,9 @@ def _chol(k: jnp.ndarray) -> jnp.ndarray:
     if k.ndim == 3 and _use_blocked_chol(k.shape[-1]):
         from .blocked_chol import blocked_factor
         return blocked_factor(k)[0]
+    if k.ndim == 3 and _use_blocked_base(k.shape[-1]):
+        from .blocked_chol import _chol_base
+        return _chol_base(k)
     return jnp.linalg.cholesky(k)
 
 
@@ -91,7 +112,17 @@ def fit_gpou(x: jnp.ndarray, f: jnp.ndarray, valid: jnp.ndarray,
     f = jnp.where(valid, f, 0.0)
     k = kernels.ou_train_cov(x, noise, valid, scale)
     l = _chol(k)
-    alpha = _solve_chol(l, f[..., None])[..., 0]
+    if l.ndim == 3 and _use_blocked_base(l.shape[-1]) \
+            and not _use_blocked_chol(l.shape[-1]):
+        # alpha through the explicit inverse: W^T (W f). The obs fit's
+        # callers need W = L^-1 anyway (linv_from_chol) — XLA CSEs the
+        # two _inv_base computations inside one program, so the
+        # latency-bound native triangular solves vanish entirely.
+        w = linv_from_chol(l)
+        y = jnp.einsum('bmn,bn->bm', w, f, precision='highest')
+        alpha = jnp.einsum('bnm,bn->bm', w, y, precision='highest')
+    else:
+        alpha = _solve_chol(l, f[..., None])[..., 0]
     return GPouState(x=x, valid=valid, l=l, alpha=alpha,
                      trained=jnp.any(valid, axis=-1))
 
@@ -126,6 +157,9 @@ def linv_from_chol(l: jnp.ndarray) -> jnp.ndarray:
         wd = jnp.stack([_inv_base(l[:, o:o + NB, o:o + NB])
                         for o in range(0, m, NB)], axis=1)
         return blocked_linv(l, wd)
+    if l.ndim == 3 and _use_blocked_base(m):
+        from .blocked_chol import _inv_base
+        return _inv_base(l)
     eye = jnp.broadcast_to(jnp.eye(m, dtype=l.dtype), l.shape)
     return triangular_solve(l, eye, left_side=True, lower=True)
 

@@ -72,3 +72,55 @@ def test_factor_cache_invalidated_on_slot_set_change():
         np.testing.assert_array_equal(m._factors_slots, live)
     else:
         assert m._factors_slots is None
+
+
+def test_update_batch_matches_per_frame():
+    """The pipelined update_batch is semantically the per-frame update()
+    loop: identical node sets and query fields after the same frames."""
+    from gpismap_tpu import datasets
+    from gpismap_tpu.api import GPisMap2D
+
+    frames = [(fr.thetas, fr.ranges, fr.pose)
+              for fr in list(datasets.gazebo_frames())[:4]]
+
+    m1 = GPisMap2D()
+    for th, rg, pose in frames:
+        m1.update(th, rg, pose)
+    mb = GPisMap2D()
+    mb.update_batch(frames)
+
+    assert m1.num_nodes == mb.num_nodes
+    p1 = m1.get_all_points()
+    pb = mb.get_all_points()
+    np.testing.assert_allclose(np.sort(p1, axis=0), np.sort(pb, axis=0),
+                               rtol=1e-6, atol=1e-6)
+
+    q, _ = __import__("gpismap_tpu").datasets.gazebo_test_grid()
+    r1 = m1.test(q[::64])
+    rb = mb.test(q[::64])
+    np.testing.assert_allclose(r1, rb, rtol=1e-5, atol=1e-5)
+
+
+def test_update_batch_3d_matches_per_frame():
+    """3D pipelined update_batch == per-frame update() (fused reeval):
+    same node set and query fields."""
+    from gpismap_tpu import datasets
+    from gpismap_tpu.api3d import GPisMap3D
+
+    raw = list(datasets.bigbird_frames())[:2]
+    m1 = GPisMap3D()
+    for fr in raw:
+        m1.set_camera(fr.cam_id, "bigbird")
+        m1.update(fr.depth, fr.pose)
+    mb = GPisMap3D()
+    mb.update_batch([(fr.depth, fr.pose, fr.cam_id) for fr in raw])
+
+    assert m1.num_nodes == mb.num_nodes
+    np.testing.assert_allclose(
+        np.sort(m1.get_all_points(), axis=0),
+        np.sort(mb.get_all_points(), axis=0), rtol=1e-6, atol=1e-6)
+
+    xt, _ = __import__("gpismap_tpu").datasets.bigbird_test_grid()
+    r1 = m1.test(xt[::64])
+    rb = mb.test(xt[::64])
+    np.testing.assert_allclose(r1, rb, rtol=1e-5, atol=1e-5)

@@ -272,3 +272,32 @@ def test_blocked_chol_panel_widths(monkeypatch):
         np.testing.assert_allclose(
             eye, np.broadcast_to(np.eye(256), eye.shape), atol=5e-4,
             err_msg=f"PW={pw}")
+
+
+def test_blocked_base_small_gpou_equivalence(monkeypatch):
+    """fit_gpou + linv_from_chol at the ObsGP cell size (M=64, below the
+    128-block threshold) through the panelized base cases == native."""
+    from gpismap_tpu.ops import gp
+
+    rng = np.random.default_rng(7)
+    b, m = 8, 64
+    x = rng.uniform(-0.3, 0.3, (b, m, 2)).astype(np.float32)
+    f = rng.uniform(0.3, 2.0, (b, m)).astype(np.float32)
+    valid = rng.uniform(size=(b, m)) > 0.4
+    valid[0] = False                     # fully-masked group
+
+    def fit():
+        st = gp.fit_gpou(jnp.asarray(x), jnp.asarray(f),
+                         jnp.asarray(valid), 0.5, 0.01)
+        return (np.asarray(st.alpha), np.asarray(st.l),
+                np.asarray(gp.linv_from_chol(st.l)),
+                np.asarray(st.trained))
+
+    monkeypatch.setenv("GPISMAP_BLOCKED_CHOL", "0")
+    a_ref, l_ref, w_ref, t_ref = fit()
+    monkeypatch.setenv("GPISMAP_BLOCKED_CHOL", "1")
+    a_bl, l_bl, w_bl, t_bl = fit()
+    np.testing.assert_array_equal(t_bl, t_ref)
+    np.testing.assert_allclose(l_bl, l_ref, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(a_bl, a_ref, rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(w_bl, w_ref, rtol=1e-3, atol=1e-3)

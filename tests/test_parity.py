@@ -154,3 +154,32 @@ def test_parity_3d_one_frame():
     assert np.median(df) < 2e-3, np.median(df)
     assert np.median(dg) < 2e-3, np.median(dg)
     assert np.percentile(df, 95) < 2e-2
+
+
+@pytest.mark.slow
+def test_reeval_hybrid_matches_scan():
+    """reeval_hybrid_3d (vectorized pass + mover fix-up) must be
+    observably equivalent to reeval_scan_3d (the strict per-cell lax.scan)
+    over real frames with genuine re-evaluation + relocation traffic:
+    identical node sets and matching query fields."""
+    from gpismap_tpu import datasets
+    from gpismap_tpu.api3d import GPisMap3D
+
+    frames = list(datasets.bigbird_frames())[:4]
+    ms = GPisMap3D(reeval_mode="fused")
+    mh = GPisMap3D(reeval_mode="hybrid")
+    for fr in frames:
+        for m in (ms, mh):
+            m.set_camera(fr.cam_id, "bigbird")
+            m.update(fr.depth, fr.pose)
+        assert ms.num_nodes == mh.num_nodes, f"frame {ms.frame - 1}"
+
+    ps = np.sort(ms.get_all_points(), axis=0)
+    ph = np.sort(mh.get_all_points(), axis=0)
+    np.testing.assert_allclose(ps, ph, rtol=1e-5, atol=1e-5)
+
+    from gpismap_tpu import datasets as ds
+    xt, _ = ds.bigbird_test_grid()
+    rs = ms.test(xt[::32])
+    rh = mh.test(xt[::32])
+    np.testing.assert_allclose(rs, rh, rtol=1e-4, atol=1e-4)

@@ -138,17 +138,22 @@ def main():
         cok = np.zeros(cpad, bool)
         cok[:len(cells)] = True
 
+        rargs = (obs2, jax.device_put(d["pos"]), jax.device_put(d["grad"]),
+                 jax.device_put(d["pos_sig"]),
+                 jax.device_put(d["grad_sig"]), jax.device_put(valid),
+                 jax.device_put(cc), jax.device_put(cok), tr, rot,
+                 jnp.float32(m.cell_size))
         rs = functools.partial(
             mapper3d.reeval_scan_3d, mp=m.p, op=m.op,
             compat=m.compat_reloc, kc=kc)
-        t, _ = _timed(rs, args.reps, obs2,
-                      jax.device_put(d["pos"]), jax.device_put(d["grad"]),
-                      jax.device_put(d["pos_sig"]),
-                      jax.device_put(d["grad_sig"]),
-                      jax.device_put(valid), jax.device_put(cc),
-                      jax.device_put(cok), tr, rot,
-                      jnp.float32(m.cell_size))
+        t, _ = _timed(rs, args.reps, *rargs)
         res["reeval_scan_ms"] = round(t * 1e3, 2)
+        rh = functools.partial(
+            mapper3d.reeval_hybrid_3d, mp=m.p, op=m.op,
+            compat=m.compat_reloc)
+        t, (_, hdrop) = _timed(rh, args.reps, *rargs)
+        res["reeval_hybrid_ms"] = round(t * 1e3, 2)
+        res["reeval_hybrid_drop"] = int(hdrop)
         res["reeval_cells"] = int(len(cells))
         res["reeval_nodes"] = int(n)
         res["reeval_kc"] = int(kc)

@@ -40,13 +40,16 @@ HBM_GBPS = {"TPU v5 lite": 819.0, "TPU v5e": 819.0, "TPU v4": 1228.0,
             "TPU v6 lite": 1640.0, "cpu": 50.0}
 
 
-def _bench(fn, reps):
+def _bench(fn, reps, *args):
+    """Time a jitted fn. Device arrays ride as ARGUMENTS — closing over
+    them bakes them into the HLO as constants, which blows the remote
+    compiler's request-size limit over the TPU tunnel (HTTP 413)."""
     import jax
-    out = fn()
+    out = fn(*args)
     jax.block_until_ready(out)
     t0 = time.time()
     for _ in range(reps):
-        out = fn()
+        out = fn(*args)
     jax.block_until_ready(out)
     return (time.time() - t0) / reps
 
@@ -98,9 +101,11 @@ def run_dim(d, reps, peak_tf, hbm_gbps):
     q = jnp.asarray(rng.uniform(-1, 1, (nt, t, d)), jnp.float32)
     vc, gc = 1.01, 3.0 / scale**2 + 0.1
 
-    eval_jit = jax.jit(lambda: cluster._ongpis_eval_tile(
-        store, linv, slot_of, segs, q, scale, vc, gc))
-    t_xla = _bench(eval_jit, reps)
+    eval_jit = jax.jit(lambda store_, linv_, segs_, q_:
+                       cluster._ongpis_eval_tile(
+                           store_, linv_, slot_of, segs_, q_, scale, vc,
+                           gc))
+    t_xla = _bench(eval_jit, reps, store, linv, segs, q)
     # FLOPs/tile: variance matmul 2*MP^2*T(1+D) + mean 2*MP*T(1+D)
     flops_tile = 2.0 * mp * mp * t * (1 + d) + 2.0 * mp * t * (1 + d)
     bytes_tile = mp * mp * 4.0       # the per-tile factor gather dominates
@@ -120,11 +125,13 @@ def run_dim(d, reps, peak_tf, hbm_gbps):
                                         store.siggrad, store.valid)
         xt = jnp.swapaxes(store.x, -1, -2)
         qt = jnp.swapaxes(q, -1, -2)
-        pl_jit = jax.jit(lambda: tile_eval_pallas(
-            segs, linv, xt, store.alpha, gradflag.astype(jnp.float32),
-            store.valid.astype(jnp.float32), qt, d=d, scale=scale,
-            val_const=vc, grad_const=gc))
-        t_pl = _bench(pl_jit, reps)
+        pl_jit = jax.jit(lambda segs_, linv_, xt_, al_, gf_, vl_, qt_:
+                         tile_eval_pallas(
+                             segs_, linv_, xt_, al_, gf_, vl_, qt_, d=d,
+                             scale=scale, val_const=vc, grad_const=gc))
+        t_pl = _bench(pl_jit, reps, segs, linv, xt, store.alpha,
+                      gradflag.astype(jnp.float32),
+                      store.valid.astype(jnp.float32), qt)
         results[f"tile_eval_pallas_{d}d"] = {
             "tiles": nt, "MP": mp, "T": t,
             "ms": round(t_pl * 1e3, 3),
@@ -147,8 +154,9 @@ def run_dim(d, reps, peak_tf, hbm_gbps):
         valid=jnp.asarray(validf), alpha=stf.alpha,
         trained=jnp.ones(sf, bool))
     slots = jnp.arange(sf, dtype=jnp.int32)
-    fac_jit = jax.jit(lambda: cluster._factorize_cells(storef, slots, scale))
-    t_fac = _bench(fac_jit, reps)
+    fac_jit = jax.jit(lambda storef_, slots_:
+                      cluster._factorize_cells(storef_, slots_, scale))
+    t_fac = _bench(fac_jit, reps, storef, slots)
     # useful FLOPs/cell: K build ~ c*MP^2 (VPU), chol MP^3/3, tri-inv MP^3/3
     flops_cell = 2.0 * (mp ** 3) / 3.0
     results[f"factorize_{d}d"] = {
@@ -162,11 +170,11 @@ def run_dim(d, reps, peak_tf, hbm_gbps):
     # ---- retrain fit (update-path hot loop) ----
     b = cap.retrain_batch
     xr, gr, valr, sigr, validr, _, _ = _make_cells(rng, b, m, d, scale)
-    fit_jit = jax.jit(lambda: gp.fit_ongpis(
-        jnp.asarray(xr), jnp.asarray(gr), jnp.asarray(valr),
-        jnp.asarray(sigr), jnp.asarray(sigr), jnp.asarray(validr),
-        scale).alpha)
-    t_fit = _bench(fit_jit, reps)
+    fit_jit = jax.jit(lambda x_, g_, v_, s_, vd_: gp.fit_ongpis(
+        x_, g_, v_, s_, s_, vd_, scale).alpha)
+    t_fit = _bench(fit_jit, reps, jnp.asarray(xr), jnp.asarray(gr),
+                   jnp.asarray(valr), jnp.asarray(sigr),
+                   jnp.asarray(validr))
     flops_fit = (mp ** 3) / 3.0 + 2.0 * mp * mp
     results[f"retrain_fit_{d}d"] = {
         "cells": b, "MP": mp,
