@@ -31,13 +31,25 @@ def main():
 
     m = GPisMap2D()
     frames = list(datasets.gazebo_frames())[:N_FRAMES]
-    t_upd = []
-    for i, fr in enumerate(frames):
-        t0 = time.time()
-        m.update(fr.thetas, fr.ranges, fr.pose)
-        t_upd.append(time.time() - t0)
-        print(f"# frame {i}: {t_upd[-1]:.2f}s nodes={m.num_nodes}",
-              file=sys.stderr, flush=True)
+    raw = [(fr.thetas, fr.ranges, fr.pose) for fr in frames]
+    # warm the per-frame programs (first run pays one-time XLA compiles —
+    # minutes over the tunnel, cached persistently), then measure the
+    # pipelined ingestion: update_batch dispatches every frame's
+    # tree-independent program up front so device compute + argument
+    # upload overlap the one blocking round trip per frame.
+    t0 = time.time()
+    m.update_batch(raw)
+    warm_wall = time.time() - t0
+    print(f"# warm pass: {warm_wall:.1f}s nodes={m.num_nodes}",
+          file=sys.stderr, flush=True)
+    m.reset()
+    t0 = time.time()
+    m.update_batch(raw)
+    batch_wall = time.time() - t0
+    t_upd = [batch_wall / len(frames)] * len(frames)
+    print(f"# measured pass: {batch_wall:.2f}s "
+          f"({len(frames) / batch_wall:.1f} fps) nodes={m.num_nodes}",
+          file=sys.stderr, flush=True)
 
     xtest, _ = datasets.gazebo_test_grid()
     # warm-up (compile) at the benchmark shape, then measure
@@ -55,13 +67,10 @@ def main():
         dt = (time.time() - t0) / reps
     qps = len(xtest) / dt
 
-    # steady-state update rate: median frame time. A handful of frames pay
-    # one-time XLA compiles when a new capacity bucket first appears
-    # (minutes over the tunnel, cached persistently afterwards); the
-    # median is the production per-frame cost, the mean is reported too.
-    upd = np.asarray(t_upd[4:]) if len(t_upd) > 8 else np.asarray(t_upd)
-    fps = 1.0 / max(float(np.median(upd)), 1e-9)
-    fps_mean = 1.0 / max(float(np.mean(upd)), 1e-9)
+    # steady-state update rate: whole-sequence wall of the measured
+    # (post-compile) pipelined pass
+    fps = len(frames) / max(batch_wall, 1e-9)
+    fps_mean = len(frames) / max(warm_wall, 1e-9)
 
     out = {
         "metric": "2d_sdf_grad_queries_per_s_per_chip",
@@ -70,7 +79,7 @@ def main():
         "vs_baseline": round(qps / REF_QPS, 3),
         "extra": {
             "update_frames_per_s": round(fps, 2),
-            "update_fps_incl_compiles": round(fps_mean, 2),
+            "update_fps_first_pass_incl_compiles": round(fps_mean, 2),
             "ref_update_frames_per_s": round(1.0 / 0.009, 1),
             "n_frames": len(frames),
             "n_nodes": int(m.num_nodes),

@@ -150,7 +150,7 @@ def test_mapper3d_sharded_four_frames_golden():
     ref = g["res"][::16]
 
     m = GPisMap3D(mesh=_mesh8())
-    assert m.reeval_mode == "fused"
+    assert m.reeval_mode == "hybrid"   # round-3 default (scan-equivalent)
     for fr in list(datasets.bigbird_frames())[:4]:
         m.set_camera(fr.cam_id, "bigbird")
         m.update(fr.depth, fr.pose)

@@ -97,7 +97,7 @@ def test_parity_3d_fused_reeval_four_frames():
     ref = g["res"][::16]
 
     m = GPisMap3D()
-    assert m.reeval_mode == "fused"
+    assert m.reeval_mode == "hybrid"   # round-3 default (scan-equivalent)
     for fr in list(datasets.bigbird_frames())[:4]:
         m.set_camera(fr.cam_id, "bigbird")
         m.update(fr.depth, fr.pose)

@@ -42,15 +42,22 @@ def main():
     frames = list(datasets.bigbird_frames())
     if args.frames:
         frames = frames[:args.frames]
-    t_upd = []
-    for i, fr in enumerate(frames):
-        t0 = time.time()
-        m.set_camera(fr.cam_id, "bigbird")
-        m.update(fr.depth, fr.pose)
-        t_upd.append(time.time() - t0)
-        print(f"# frame {i} ({fr.frame}/cam{fr.cam_id}): "
-              f"{t_upd[-1]:.2f}s nodes={m.num_nodes}", file=sys.stderr,
-              flush=True)
+    raw = [(fr.depth, fr.pose, fr.cam_id) for fr in frames]
+    # pipelined ingestion; first pass pays one-time compiles (persistent
+    # cache), second pass is the measured steady state
+    t0 = time.time()
+    m.update_batch(raw)
+    warm_wall = time.time() - t0
+    print(f"# warm pass: {warm_wall:.1f}s nodes={m.num_nodes}",
+          file=sys.stderr, flush=True)
+    m.reset()
+    t0 = time.time()
+    m.update_batch(raw)
+    batch_wall = time.time() - t0
+    t_upd = [batch_wall / len(frames)] * len(frames)
+    print(f"# measured pass: {batch_wall:.1f}s "
+          f"({len(frames) / batch_wall:.2f} fps) nodes={m.num_nodes}",
+          file=sys.stderr, flush=True)
 
     xtest, _ = datasets.bigbird_test_grid()
     xq = xtest[::args.sub]
@@ -70,6 +77,8 @@ def main():
         "vs_baseline": round(qps / REF_QPS_3D, 3),
         "extra": {
             "update_s_per_frame": round(float(np.mean(upd)), 3),
+            "first_pass_s_incl_compiles": round(
+                warm_wall / len(frames), 3),
             "ref_update_s_per_frame": REF_UPD_S,
             "update_speedup": round(REF_UPD_S / float(np.mean(upd)), 2),
             "n_frames": len(frames),

@@ -89,7 +89,8 @@ def run(mode, frame_i, reps):
             m.update(fr.depth, fr.pose)
         xtest = datasets.bigbird_test_grid()[0]
         stage_caps = [(mapmod, "frame_compute_3d"),
-                      (mapmod, "reeval_scan_3d")]
+                      (mapmod, "reeval_scan_3d"),
+                      (mapmod, "reeval_hybrid_3d")]
 
     frame_i = min(frame_i, len(frames) - 1)
     for fr in frames[:frame_i]:
@@ -116,10 +117,26 @@ def run(mode, frame_i, reps):
         m.test(xtest)
     wall_test = time.time() - t_wall0
 
+    # steady-state online frame: update with the factor cache warm (the
+    # incremental update_factors path) then a cache-hit test
+    scaps = [_Capture(cluster, "update_factors"),
+             _Capture(cluster, "map_test")]
+    if frame_i + 1 < len(frames):
+        with contextlib.ExitStack() as st:
+            for c in scaps:
+                st.enter_context(c)
+            step(frames[frame_i + 1])
+            m.test(xtest)
+
     stages = {}
     for c in caps + tcaps:
         if c.calls:
             stages[c.name] = {"calls": len(c.calls),
+                              "device_ms": round(c.time(reps) * 1e3, 3)}
+    steady = {}
+    for c in scaps:
+        if c.calls:
+            steady[c.name] = {"calls": len(c.calls),
                               "device_ms": round(c.time(reps) * 1e3, 3)}
 
     upd_ms = sum(v["device_ms"] for k, v in stages.items()
@@ -141,6 +158,7 @@ def run(mode, frame_i, reps):
         "n_test_points": int(len(xtest)),
         "wall_update_s": round(wall_update, 3),
         "wall_test_s": round(wall_test, 3),
+        "steady_state": steady,
     }
     print(json.dumps(out))
     return out
