@@ -46,6 +46,7 @@ class RenderConfig(NamedTuple):
     eps: float = 1e-3
     t_max: float = 10.0
     step_scale: float = 0.9
+    use_pallas: bool = False
 
 
 class Hyper(NamedTuple):
@@ -83,7 +84,8 @@ def config_from_mapper(m, **overrides) -> RenderConfig:
         tile=m.cap.test_tile, max_cells=m.cap.max_cells,
         max_active=m.cap.test_active_cells, fbias=m.p.fbias,
         t_max=4.0 if is3d else 30.0,
-        eps=1e-4 if is3d else 1e-3)
+        eps=1e-4 if is3d else 1e-3,
+        use_pallas=m._use_pallas())
     return cfg._replace(**overrides) if overrides else cfg
 
 
@@ -103,7 +105,7 @@ def sdf_eval(store: cluster.ClusterStore, grid: jnp.ndarray, x: jnp.ndarray,
         val_const=h.val_const, grad_const=h.grad_const,
         var_thre=cfg.var_thre, default_var=cfg.default_var, tile=cfg.tile,
         max_cells=cfg.max_cells, max_active=cfg.max_active,
-        factors=factors)
+        use_pallas=cfg.use_pallas, factors=factors)
     return f + cfg.fbias, g, vf
 
 
@@ -147,9 +149,13 @@ def sphere_trace(store: cluster.ClusterStore, grid: jnp.ndarray,
                          jax.lax.stop_gradient(dirs))
     t_hat = jax.lax.stop_gradient(t_hat)
 
-    # implicit-function correction: carries d t*/d(inputs)
+    # implicit-function correction: carries d t*/d(inputs). The Pallas
+    # tile kernel has no VJP, so the one differentiable evaluation always
+    # takes the XLA path (the march above may use Pallas — it sits under
+    # stop_gradient).
     x_hat = origins + t_hat[:, None] * dirs
-    f, g, vf = sdf_eval(store, grid, x_hat, cfg, factors, hyper)
+    f, g, vf = sdf_eval(store, grid, x_hat,
+                        cfg._replace(use_pallas=False), factors, hyper)
     denom = jnp.sum(g * dirs, axis=-1)
     denom = jnp.where(jnp.abs(denom) > 1e-3, denom,
                       jnp.where(denom < 0, -1e-3, 1e-3))
