@@ -42,11 +42,13 @@ def _ein(spec, *ops):
 
 import os as _os
 
-# Base-case panel width (sequential loop steps = n / PW). 8 measured best
-# on TPU v5e (4/8/16 sweep, tools/device_profile.py retrain stage);
-# GPISMAP_CHOL_PW overrides for tuning. Read ONCE at import (the base
-# cases close over it as a static trip count); set it before importing.
-PW = int(_os.environ.get("GPISMAP_CHOL_PW", "8"))
+# Base-case panel width (sequential loop steps = n / PW). 16 measured
+# best on TPU v5e (8/16/32 sweep with queue-draining scalar-pull timing,
+# tools/pw_sweep.py 2026-08-21: 2D retrain 4.98/3.80/3.79 ms, 3D
+# 11.36/9.70/9.57 — 32 buys nothing over 16 and doubles the unrolled
+# body). GPISMAP_CHOL_PW overrides for tuning. Read ONCE at import (the
+# base cases close over it as a static trip count); set before import.
+PW = int(_os.environ.get("GPISMAP_CHOL_PW", "16"))
 if not (1 <= PW <= 128) or 128 % PW != 0:
     raise ValueError(
         f"GPISMAP_CHOL_PW={PW} invalid: the base cases run over 128-wide "

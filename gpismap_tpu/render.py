@@ -126,11 +126,23 @@ def sphere_trace(store: cluster.ClusterStore, grid: jnp.ndarray,
     """
     n = origins.shape[0]
 
+    # The march is non-differentiable BY DESIGN (the correction below
+    # carries the exact implicit gradient), so sever every traced value
+    # it reads — not just rays and t_hat. Leaving store/hyper traced
+    # makes jax.grad differentiate through all n_steps scan iterations:
+    # a 48x larger backward program (it blew up the remote compiler at
+    # production shapes) and a JVP of the Pallas kernel (which has none).
+    store_ng = jax.lax.stop_gradient(store)
+    hyper_ng = None if hyper is None else jax.lax.stop_gradient(hyper)
+    factors_ng = None if factors is None else jax.lax.stop_gradient(
+        factors)
+
     def march(o, d):
         def body(carry, _):
             t, done, steps = carry
             x = o + t[:, None] * d
-            f, _, vf = sdf_eval(store, grid, x, cfg, factors, hyper)
+            f, _, vf = sdf_eval(store_ng, grid, x, cfg, factors_ng,
+                                hyper_ng)
             hit = jnp.abs(f) < cfg.eps
             adv = jnp.where(done | hit, 0.0, cfg.step_scale * f)
             # unmapped space returns f = fbias -> fixed forward steps

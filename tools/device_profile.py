@@ -29,14 +29,29 @@ REPO = os.path.dirname(HERE)
 sys.path.insert(0, REPO)
 
 
+
+def _drain(out):
+    """Force the device queue to drain: on the tunneled backend
+    block_until_ready can resolve before remote execution completes
+    (verified 2026-08-21); fetching a tiny on-device reduction of the
+    result serializes behind everything enqueued."""
+    import jax
+    import jax.numpy as jnp
+    leaves = [x for x in jax.tree.leaves(out)
+              if hasattr(x, "dtype") and hasattr(x, "ravel")]
+    if leaves:
+        jax.device_get(jnp.sum(leaves[0].ravel()[:1]))
+
+
 def _timed(fn, a, k, reps):
     import jax
     out = fn(*a, **k)
     jax.block_until_ready(out)
+    _drain(out)
     t0 = time.time()
     for _ in range(reps):
         out = fn(*a, **k)
-    jax.block_until_ready(out)
+    _drain(out)
     return (time.time() - t0) / reps
 
 

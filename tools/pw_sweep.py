@@ -68,13 +68,23 @@ def main():
                     l = bc._chol_base(k_)
                     return bc._inv_base(l)
                 fn = jax.jit(fn)
-            r = fn(k)
-            jax.block_until_ready(r)
+            # timing via a scalar pull: on the tunneled backend
+            # block_until_ready can resolve before remote execution
+            # completes; fetching a reduction of the result forces the
+            # full serial queue to drain (RTT ~0.5 ms, subtracted)
+            sumj = jax.jit(lambda r_: jnp.sum(r_))
+            s = sumj(fn(k))
+            jax.device_get(s)
+            t0 = time.time()
+            for _ in range(3):
+                jax.device_get(s)
+            rtt = (time.time() - t0) / 3
             t0 = time.time()
             for _ in range(args.reps):
                 r = fn(k)
-            jax.block_until_ready(r)
-            row[name] = round((time.time() - t0) / args.reps * 1e3, 2)
+            jax.device_get(sumj(r))
+            row[name] = round(
+                (time.time() - t0 - rtt) / args.reps * 1e3, 2)
             print(f"# PW={pw} {name}: {row[name]} ms", file=sys.stderr,
                   flush=True)
         out["rows"][pw] = row

@@ -45,12 +45,21 @@ def _bench(fn, reps, *args):
     them bakes them into the HLO as constants, which blows the remote
     compiler's request-size limit over the TPU tunnel (HTTP 413)."""
     import jax
+    import jax.numpy as jnp
+
+    def drain(o):
+        leaves = [x for x in jax.tree.leaves(o)
+                  if hasattr(x, "dtype") and hasattr(x, "ravel")]
+        if leaves:
+            jax.device_get(jnp.sum(leaves[0].ravel()[:1]))
+
     out = fn(*args)
     jax.block_until_ready(out)
+    drain(out)
     t0 = time.time()
     for _ in range(reps):
         out = fn(*args)
-    jax.block_until_ready(out)
+    drain(out)
     return (time.time() - t0) / reps
 
 
