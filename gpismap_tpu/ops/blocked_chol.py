@@ -93,6 +93,16 @@ def _chol_base(d):
         panel = jnp.stack(cols, axis=2)                      # [B,n,PW]
         return jax.lax.dynamic_update_slice_in_dim(l, panel, j, axis=2)
 
+    # n <= 64 (the ObsGP cell size): fully unroll — constant-index slices
+    # fuse far better than the fori_loop's dynamic ones (measured 13.7 ->
+    # 6.1 ms at [3072,64,64], tools/pw_sweep.py). At n == 128 (the
+    # blocked-path diagonal blocks) unrolling measured ~1.6x SLOWER —
+    # keep the loop there.
+    if n <= 64:
+        l = jnp.zeros_like(d)
+        for p in range(n // PW):
+            l = body(p, l)
+        return l
     return jax.lax.fori_loop(0, n // PW, body, jnp.zeros_like(d))
 
 
@@ -123,6 +133,11 @@ def _inv_base(l):
         panel = jnp.stack(rows, axis=1)                      # [B,PW,n]
         return jax.lax.dynamic_update_slice_in_dim(w, panel, j, axis=1)
 
+    if n <= 64:                               # see _chol_base
+        w = jnp.zeros_like(l)
+        for p in range(n // PW):
+            w = body(p, w)
+        return w
     return jax.lax.fori_loop(0, n // PW, body, jnp.zeros_like(l))
 
 
