@@ -86,6 +86,8 @@ class GPisMap3D(_MeshMixin):
         self.stats: dict = {}
         self._factors = None   # cached per-cell Cholesky factors
         self._factors_slots = None
+        self._nbrs = None      # cached candidate table (NeighborTable)
+        self._nbr_dense = False
         self._retrain_buckets = _default_buckets(cap.gp_support)
 
     # ------------------------------------------------------------------
@@ -107,6 +109,7 @@ class GPisMap3D(_MeshMixin):
         self.frame = 0
         self._factors = None
         self._factors_slots = None
+        self._nbrs = None
 
     # ------------------------------------------------------------------
     def _obs_limits(self):
@@ -429,6 +432,7 @@ class GPisMap3D(_MeshMixin):
             return fn(
                 self.store, self.grid, self._dev(xq, shard=True),
                 factors=self._get_factors(), use_pallas=up,
+                nbrs=self._nbrs, nbr_dense=self._nbr_dense,
                 **self._test_kwargs(),
                 **({} if self.mesh is None else {"mesh": self.mesh}))
 

@@ -189,9 +189,14 @@ class CapacityParam:
     test_active_cells: int = 512
     # Max observation beams / rays per frame (2D scan length padding).
     max_beams: int = 512
+    # Candidate-table row width (models/cluster.NeighborTable): max
+    # trained cells registered per grid cell's search window (overflow:
+    # counted in NeighborTable.n_overflow, surfaced via stats).
+    nbr_k: int = 48
 
 
 CAPACITY_2D = CapacityParam()
 CAPACITY_3D = CapacityParam(gp_support=320, retrain_batch=32, max_cells=4096,
                             max_nodes=131072, test_tile=128,
-                            test_active_cells=320, max_beams=512)
+                            test_active_cells=320, max_beams=512,
+                            nbr_k=64)

@@ -48,4 +48,5 @@ def load(mapper, path: str) -> None:
     mapper.frame = int(d["frame"])
     mapper._factors = None
     mapper._factors_slots = None
+    mapper._nbrs = None
     mapper._rebuild_grid()

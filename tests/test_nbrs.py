@@ -1,0 +1,107 @@
+"""Candidate-table (NeighborTable) equivalence with the window path.
+
+The table is a pure layout change — row gathers instead of per-query
+window gathers — so results must be EXACTLY equal (same candidate set,
+same order for tie-breaks, same floats).
+"""
+import numpy as np
+import jax.numpy as jnp
+
+from test_parallel import _circle_map
+
+
+def _live_cells(idx, cell_size=1.6):
+    cells = idx.all_cluster_cells()
+    centers, _, slots = idx.cell_info(cells)
+    live = slots >= 0
+    coords = np.floor(centers / cell_size).astype(np.int32)
+    n = int(live.sum())
+    cpad = max(64, 1 << (n - 1).bit_length())
+    cc = np.zeros((cpad, 2), np.int32)
+    sl = np.full(cpad, -1, np.int32)
+    cc[:n] = coords[live]
+    sl[:n] = slots[live]
+    return cc, sl
+
+
+def test_neighbor_table_matches_window():
+    from gpismap_tpu.config import TREE_2D
+    from gpismap_tpu.models import cluster
+    from gpismap_tpu.runtime import SpatialIndex
+
+    store, grid, kw = _circle_map()
+    # rebuild the same index to get the live cell list
+    idx = SpatialIndex(2, TREE_2D, max_slots=64)
+    ang = np.linspace(0, 2 * np.pi, 40, endpoint=False)
+    pts = np.stack([np.cos(ang), np.sin(ang)], -1).astype(np.float32)
+    ids = idx.try_insert(pts)
+    ok = ids >= 0
+    normals = pts[ok] / np.linalg.norm(pts[ok], axis=1, keepdims=True)
+    idx.set_node_data(ids[ok], np.full(ok.sum(), -0.2, np.float32),
+                      np.full(ok.sum(), 0.02, np.float32), normals,
+                      np.full(ok.sum(), 0.02, np.float32))
+    cc, sl = _live_cells(idx)
+
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.uniform(-3, 3, (256, 2)), jnp.float32)
+    ref = cluster.map_test(store, grid, q, **kw)
+
+    for dense in (True, False):
+        nbrs = cluster.build_neighbor_table(
+            jnp.asarray(cc), jnp.asarray(sl), store.trained,
+            grid_half=kw["grid_half"], noff=kw["noff"], k_cap=16,
+            dense=dense)
+        assert int(nbrs.n_overflow) == 0
+        out = cluster.map_test(store, grid, q, nbrs=nbrs,
+                               nbr_dense=dense, **kw)
+        for a, b, name in zip(ref, out, ("f", "g", "vf", "vg", "nd")):
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b),
+                err_msg=f"dense={dense} {name}")
+
+
+def test_neighbor_table_overflow_counted():
+    from gpismap_tpu.config import TREE_2D
+    from gpismap_tpu.models import cluster
+    from gpismap_tpu.runtime import SpatialIndex
+
+    store, grid, kw = _circle_map()
+    idx = SpatialIndex(2, TREE_2D, max_slots=64)
+    ang = np.linspace(0, 2 * np.pi, 40, endpoint=False)
+    pts = np.stack([np.cos(ang), np.sin(ang)], -1).astype(np.float32)
+    ids = idx.try_insert(pts)
+    ok = ids >= 0
+    idx.set_node_data(ids[ok], np.full(ok.sum(), -0.2, np.float32),
+                      np.full(ok.sum(), 0.02, np.float32),
+                      pts[ok] / np.linalg.norm(pts[ok], 2, 1,
+                                               keepdims=True),
+                      np.full(ok.sum(), 0.02, np.float32))
+    cc, sl = _live_cells(idx)
+    # k_cap 1 cannot hold the full windows -> overflow must be counted
+    nbrs = cluster.build_neighbor_table(
+        jnp.asarray(cc), jnp.asarray(sl), store.trained,
+        grid_half=kw["grid_half"], noff=kw["noff"], k_cap=1, dense=True)
+    assert int(nbrs.n_overflow) > 0
+
+
+def test_mapper_table_matches_window_2d(monkeypatch):
+    """GPisMap2D with the table forced on == table off, over real
+    frames (insert/retrain churn rebuilds the table each frame)."""
+    from gpismap_tpu import datasets
+    from gpismap_tpu.api import GPisMap2D
+
+    frames = list(datasets.gazebo_frames())[:3]
+    monkeypatch.setenv("GPISMAP_NBR_TABLE", "0")
+    m0 = GPisMap2D()
+    for fr in frames:
+        m0.update(fr.thetas, fr.ranges, fr.pose)
+    monkeypatch.setenv("GPISMAP_NBR_TABLE", "1")
+    m1 = GPisMap2D()
+    for fr in frames:
+        m1.update(fr.thetas, fr.ranges, fr.pose)
+    assert m1._nbrs is not None
+
+    q, _ = datasets.gazebo_test_grid()
+    r0 = m0.test(q[::32])
+    r1 = m1.test(q[::32])
+    np.testing.assert_array_equal(r0, r1)

@@ -134,13 +134,15 @@ def main():
     slot_of = jnp.where(uniq < big, uniq, -1).astype(jnp.int32)
 
     @jax.jit
-    def phase_eval(plan_, q_):
+    def phase_eval(plan_, q_, store_, linv_, slot_of_):
+        # device arrays ride as ARGUMENTS (closures bake them into the
+        # HLO as constants -> remote-compile 413 over the tunnel)
         def eval_tile(segs, pids):
             qt = q_[jnp.clip(pids, 0) // 3]
             # identical constants to api.test() (api.py:474-475) so the
             # profiled program is the production tile-eval, not a drift
             return cluster._ongpis_eval_tile(
-                store, linv_buf, slot_of, segs, qt, p.map_scale_param,
+                store_, linv_, slot_of_, segs, qt, p.map_scale_param,
                 1.01, p.three_over_scale + 0.1)
         out0 = (jnp.zeros((3 * q_.shape[0],), q_.dtype),
                 jnp.zeros((3 * q_.shape[0], 2), q_.dtype),
@@ -148,7 +150,8 @@ def main():
                 jnp.zeros((3 * q_.shape[0], 2), q_.dtype))
         return segmented.segmented_eval(plan_, eval_tile, out0)
 
-    t, _ = _timed(phase_eval, args.reps, plan, q)
+    t, _ = _timed(phase_eval, args.reps, plan, q, store, linv_buf,
+                  slot_of)
     res["tile_eval_xla_scan_ms"] = round(t * 1e3, 2)
     print(json.dumps(res))
 
