@@ -121,6 +121,29 @@ class _MeshMixin:
             self._factors = jax.device_put(self._factors, self._sh_rep)
         return self._factors
 
+    # -- dense cluster grid (shared by both mappers) -------------------
+    def _rebuild_grid(self) -> None:
+        """Dense cluster grid rebuilt ON DEVICE from the live-cell list
+        (cluster.build_grid_device): only the [C, D] cell list travels
+        per frame instead of the 262 KB (2D) / 8 MB (3D) dense map."""
+        cells = self.index.all_cluster_cells(cap=self.cap.max_cells * 4)
+        n = 0
+        if len(cells):
+            centers, _, slots = self.index.cell_info(cells)
+            live = slots >= 0
+            n = int(live.sum())
+        cpad = _next_pow2(max(n, 1))
+        cc = np.zeros((cpad, self.dim), np.int32)
+        sl = np.full(cpad, -1, np.int32)
+        if n:
+            cc[:n] = np.floor(centers[live] / self.cell_size).astype(
+                np.int32)
+            sl[:n] = slots[live]
+        self.grid = cluster.build_grid_device(
+            self._dev(cc), self._dev(sl), self.dim, self.grid_half)
+        if self.mesh is not None:
+            self.grid = jax.device_put(self.grid, self._sh_rep)
+
     # -- candidate table (shared by both mappers) ----------------------
     def _use_nbr_table(self) -> bool:
         """Precomputed candidate rows for test() (cluster.NeighborTable):
@@ -603,18 +626,6 @@ class GPisMap2D(_MeshMixin):
     def _update_gps(self):
         _retrain_store(self)
 
-    def _rebuild_grid(self):
-        cells = self.index.all_cluster_cells(cap=self.cap.max_cells * 4)
-        if len(cells) == 0:
-            self.grid = self._dev(cluster.build_grid(
-                np.zeros((0, self.dim), np.int64), np.zeros(0, np.int32),
-                self.dim, self.grid_half))
-            return
-        centers, _, slots = self.index.cell_info(cells)
-        coords = np.floor(centers / self.cell_size).astype(np.int64)
-        live = slots >= 0
-        self.grid = self._dev(cluster.build_grid(
-            coords[live], slots[live], self.dim, self.grid_half))
 
     # ------------------------------------------------------------------
     def _use_pallas(self) -> bool:

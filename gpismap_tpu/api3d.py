@@ -375,18 +375,6 @@ class GPisMap3D(_MeshMixin):
     def _update_gps(self):
         _retrain_store(self)
 
-    def _rebuild_grid(self):
-        cells = self.index.all_cluster_cells(cap=self.cap.max_cells * 4)
-        if len(cells) == 0:
-            self.grid = self._dev(cluster.build_grid(
-                np.zeros((0, 3), np.int64), np.zeros(0, np.int32), 3,
-                self.grid_half))
-            return
-        centers, _, slots = self.index.cell_info(cells)
-        coords = np.floor(centers / self.cell_size).astype(np.int64)
-        live = slots >= 0
-        self.grid = self._dev(cluster.build_grid(coords[live], slots[live],
-                                                 3, self.grid_half))
 
     # ------------------------------------------------------------------
     def _use_pallas(self) -> bool:

@@ -674,6 +674,28 @@ def map_test_sharded(store: ClusterStore, grid: jnp.ndarray,
                          out_specs=out_specs)(*ops)
 
 
+@functools.partial(jax.jit, static_argnames=("dim", "grid_half"))
+def build_grid_device(coords: jnp.ndarray, slots: jnp.ndarray, dim: int,
+                      grid_half: int) -> jnp.ndarray:
+    """build_grid computed ON DEVICE from the (padded) live-cell list.
+
+    The host variant materializes the dense [side^D] map and uploads it
+    every frame — 262 KB (2D) / 8 MB (3D) of tunnel traffic per update;
+    here only the [C, D] cell list travels. Identical result (cells have
+    unique coords, so scatter order is irrelevant); padded rows carry
+    slots == -1 and are dropped."""
+    side = 2 * grid_half
+    k = coords.astype(jnp.int32) + grid_half
+    inb = jnp.all((k >= 0) & (k < side), axis=-1)
+    flat = k[..., 0]
+    for a in range(1, dim):
+        flat = flat * side + k[..., a]
+    flat = jnp.where(inb & (slots >= 0), flat, side ** dim)
+    g = jnp.full((side ** dim + 1,), -1, jnp.int32)
+    g = g.at[flat].set(slots.astype(jnp.int32), mode='drop')[:-1]
+    return g.reshape((side,) * dim)
+
+
 def build_grid(cell_coords: np.ndarray, slots: np.ndarray, dim: int,
                grid_half: int) -> jnp.ndarray:
     """Dense cluster grid from host cell tables.

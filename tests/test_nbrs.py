@@ -105,3 +105,23 @@ def test_mapper_table_matches_window_2d(monkeypatch):
     r0 = m0.test(q[::32])
     r1 = m1.test(q[::32])
     np.testing.assert_array_equal(r0, r1)
+
+
+def test_build_grid_device_matches_host():
+    from gpismap_tpu.models import cluster
+
+    rng = np.random.default_rng(1)
+    for dim, gh in ((2, 16), (3, 8)):
+        n = 40
+        coords = rng.integers(-gh, gh, (n, dim)).astype(np.int64)
+        coords = np.unique(coords, axis=0)
+        slots = np.arange(len(coords), dtype=np.int32)
+        host = np.asarray(cluster.build_grid(coords, slots, dim, gh))
+        cpad = 64
+        cc = np.zeros((cpad, dim), np.int32)
+        sl = np.full(cpad, -1, np.int32)
+        cc[:len(coords)] = coords
+        sl[:len(coords)] = slots
+        dev = np.asarray(cluster.build_grid_device(
+            jnp.asarray(cc), jnp.asarray(sl), dim, gh))
+        np.testing.assert_array_equal(host, dev, err_msg=f"dim={dim}")
