@@ -121,6 +121,42 @@ class _MeshMixin:
             self._factors = jax.device_put(self._factors, self._sh_rep)
         return self._factors
 
+    # -- device node mirror (shared by both mappers) -------------------
+    def _use_mirror(self) -> bool:
+        """Device-resident node-table mirror (SURVEY §7): retrain support
+        travels as indices, not gathered arrays. Identical values by
+        construction; GPISMAP_NODE_MIRROR=0 disables."""
+        import os as _os
+        return _os.environ.get("GPISMAP_NODE_MIRROR", "1") not in (
+            "0", "off")
+
+    def _sync_mirror(self) -> None:
+        """Scatter this frame's mutated nodes into the device mirror
+        (SpatialIndex tracks them; a fresh/loaded map seeds everything)."""
+        if not self._use_mirror():
+            self._mirror = None
+            return
+        if self._mirror is None:
+            self._mirror = self._dev(cluster.make_mirror(self.cap,
+                                                         self.dim))
+            d = self.index.dump_nodes()
+            ids = np.nonzero(d["alive"])[0].astype(np.int32)
+            self.index.pop_dirty()      # the full seed covers everything
+        else:
+            ids = self.index.pop_dirty()
+        if len(ids) == 0:
+            return
+        k = _next_pow2(len(ids))
+        sel = np.full(k, -1, np.int32)
+        sel[:len(ids)] = ids
+        nd = self.index.get_nodes(sel)
+        self._mirror = cluster.scatter_mirror(
+            self._mirror, self._dev(sel), self._dev(nd["pos"]),
+            self._dev(nd["grad"]), self._dev(nd["val"]),
+            self._dev(nd["pos_sig"]), self._dev(nd["grad_sig"]))
+        if self.mesh is not None:
+            self._mirror = jax.device_put(self._mirror, self._sh_rep)
+
     # -- dense cluster grid (shared by both mappers) -------------------
     def _rebuild_grid(self) -> None:
         """Dense cluster grid rebuilt ON DEVICE from the live-cell list
@@ -236,6 +272,7 @@ def _retrain_store(m) -> None:
     (masked identity rows; see cluster.retrain_cells).
     """
     mcap = m.cap.gp_support
+    m._sync_mirror()     # flush this frame's node mutations to device
     rt = m.index.collect_retrain(m.p.gp_radius_times, mcap,
                                  m.cap.retrain_batch * 16)
     b = rt["n"]
@@ -275,12 +312,19 @@ def _retrain_store(m) -> None:
             for s in range(0, len(rows), chunk):
                 rr = rows[s:s + chunk]
                 bb = len(rr)
-                sup = np.zeros((chunk, mb), np.int32)
+                sup = np.full((chunk, mb), -1, np.int32)
                 sup[:bb] = rt["support"][rr][:, :mb]
                 slots = np.full(chunk, -1, np.int32)
                 slots[:bb] = rt["slots"][rr]
+                if m._mirror is not None:
+                    # support gathered on device from the node mirror:
+                    # only the index array travels
+                    m.store = cluster.retrain_cells_from_mirror(
+                        m.store, m._mirror, m._dev(slots),
+                        m._dev(slots >= 0), m._dev(sup, shard=True),
+                        m.p.map_scale_param)
+                    continue
                 vmask = sup >= 0
-                vmask[bb:] = False
                 nd = m.index.get_nodes(sup.reshape(-1))
                 shp = sup.shape
                 m.store = cluster.retrain_cells(
@@ -373,6 +417,7 @@ class GPisMap2D(_MeshMixin):
         self._factors_slots = None
         self._nbrs = None      # cached candidate table (NeighborTable)
         self._nbr_dense = False
+        self._mirror = None    # device node-table mirror (NodeMirror)
         self._retrain_buckets = _default_buckets(cap.gp_support)
 
     # ------------------------------------------------------------------
@@ -387,6 +432,7 @@ class GPisMap2D(_MeshMixin):
         self._factors = None
         self._factors_slots = None
         self._nbrs = None
+        self._mirror = None
 
     # ------------------------------------------------------------------
     def update(self, thetas: np.ndarray, ranges: np.ndarray,

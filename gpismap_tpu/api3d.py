@@ -88,6 +88,7 @@ class GPisMap3D(_MeshMixin):
         self._factors_slots = None
         self._nbrs = None      # cached candidate table (NeighborTable)
         self._nbr_dense = False
+        self._mirror = None    # device node-table mirror (NodeMirror)
         self._retrain_buckets = _default_buckets(cap.gp_support)
 
     # ------------------------------------------------------------------
@@ -110,6 +111,7 @@ class GPisMap3D(_MeshMixin):
         self._factors = None
         self._factors_slots = None
         self._nbrs = None
+        self._mirror = None
 
     # ------------------------------------------------------------------
     def _obs_limits(self):

@@ -117,6 +117,64 @@ def retrain_cells(store: ClusterStore, slots: jnp.ndarray,
     )
 
 
+class NodeMirror(NamedTuple):
+    """Device-resident mirror of the host node table (SURVEY §7's
+    HBM-resident struct-of-arrays). Kept in sync by scattering only the
+    nodes each frame MUTATES (api._sync_mirror), so the retrain can
+    gather its support data on device from uploaded INDICES instead of
+    shipping five gathered support arrays over the tunnel every frame."""
+
+    pos: jnp.ndarray       # [N, D]
+    grad: jnp.ndarray      # [N, D]
+    val: jnp.ndarray       # [N]
+    pos_sig: jnp.ndarray   # [N]
+    grad_sig: jnp.ndarray  # [N]
+
+
+def make_mirror(cap: CapacityParam, dim: int) -> NodeMirror:
+    n = cap.max_nodes
+    return NodeMirror(
+        pos=jnp.zeros((n, dim), jnp.float32),
+        grad=jnp.zeros((n, dim), jnp.float32),
+        val=jnp.zeros((n,), jnp.float32),
+        pos_sig=jnp.zeros((n,), jnp.float32),
+        grad_sig=jnp.zeros((n,), jnp.float32))
+
+
+@jax.jit
+def scatter_mirror(mirror: NodeMirror, ids: jnp.ndarray, pos, grad, val,
+                   pos_sig, grad_sig) -> NodeMirror:
+    """Write the given nodes' current host values (-1 ids dropped)."""
+    n = mirror.val.shape[0]
+    tgt = jnp.where(ids >= 0, ids, n)
+
+    def scat(old, new):
+        ext = jnp.concatenate(
+            [old, jnp.zeros((1,) + old.shape[1:], old.dtype)])
+        return ext.at[tgt].set(new, mode='drop')[:-1]
+
+    return NodeMirror(pos=scat(mirror.pos, pos),
+                      grad=scat(mirror.grad, grad),
+                      val=scat(mirror.val, val),
+                      pos_sig=scat(mirror.pos_sig, pos_sig),
+                      grad_sig=scat(mirror.grad_sig, grad_sig))
+
+
+@jax.jit
+def retrain_cells_from_mirror(store: ClusterStore, mirror: NodeMirror,
+                              slots: jnp.ndarray, slot_ok: jnp.ndarray,
+                              sup: jnp.ndarray, scale) -> ClusterStore:
+    """retrain_cells with the support data gathered ON DEVICE from the
+    node mirror — only the [B, mb] int32 support indices travel per
+    retrain chunk (~5x less per-frame upload than the five gathered
+    arrays; the values are identical by the mirror invariant)."""
+    c = jnp.clip(sup, 0, mirror.val.shape[0] - 1)
+    valid = sup >= 0
+    return retrain_cells(store, slots, slot_ok, mirror.pos[c],
+                         mirror.grad[c], mirror.val[c], mirror.pos_sig[c],
+                         mirror.grad_sig[c], valid, scale)
+
+
 def clear_slots(store: ClusterStore, slots: jnp.ndarray,
                 slot_ok: jnp.ndarray) -> ClusterStore:
     """Mark slots untrained (cells pruned by the index)."""

@@ -49,4 +49,5 @@ def load(mapper, path: str) -> None:
     mapper._factors = None
     mapper._factors_slots = None
     mapper._nbrs = None
+    mapper._mirror = None
     mapper._rebuild_grid()

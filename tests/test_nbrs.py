@@ -125,3 +125,53 @@ def test_build_grid_device_matches_host():
         dev = np.asarray(cluster.build_grid_device(
             jnp.asarray(cc), jnp.asarray(sl), dim, gh))
         np.testing.assert_array_equal(host, dev, err_msg=f"dim={dim}")
+
+
+def test_mapper_mirror_matches_host_gather(monkeypatch):
+    """Retrain through the device node mirror == host-gathered support
+    (identical store state and query fields over real frames with
+    insert/reeval churn)."""
+    from gpismap_tpu import datasets
+    from gpismap_tpu.api import GPisMap2D
+
+    frames = list(datasets.gazebo_frames())[:3]
+    monkeypatch.setenv("GPISMAP_NODE_MIRROR", "0")
+    m0 = GPisMap2D()
+    for fr in frames:
+        m0.update(fr.thetas, fr.ranges, fr.pose)
+    assert m0._mirror is None
+    monkeypatch.setenv("GPISMAP_NODE_MIRROR", "1")
+    m1 = GPisMap2D()
+    for fr in frames:
+        m1.update(fr.thetas, fr.ranges, fr.pose)
+    assert m1._mirror is not None
+
+    np.testing.assert_array_equal(np.asarray(m0.store.alpha),
+                                  np.asarray(m1.store.alpha))
+    np.testing.assert_array_equal(np.asarray(m0.store.valid),
+                                  np.asarray(m1.store.valid))
+    q, _ = datasets.gazebo_test_grid()
+    np.testing.assert_array_equal(m0.test(q[::32]), m1.test(q[::32]))
+
+
+def test_mapper_mirror_3d_two_frames(monkeypatch):
+    """3D twin (exercises the hybrid-reeval dirty tracking incl.
+    re-inserted mover ids)."""
+    from gpismap_tpu import datasets
+    from gpismap_tpu.api3d import GPisMap3D
+
+    raw = list(datasets.bigbird_frames())[:2]
+    monkeypatch.setenv("GPISMAP_NODE_MIRROR", "0")
+    m0 = GPisMap3D()
+    for fr in raw:
+        m0.set_camera(fr.cam_id, "bigbird")
+        m0.update(fr.depth, fr.pose)
+    monkeypatch.setenv("GPISMAP_NODE_MIRROR", "1")
+    m1 = GPisMap3D()
+    for fr in raw:
+        m1.set_camera(fr.cam_id, "bigbird")
+        m1.update(fr.depth, fr.pose)
+    np.testing.assert_array_equal(np.asarray(m0.store.alpha),
+                                  np.asarray(m1.store.alpha))
+    xt, _ = datasets.bigbird_test_grid()
+    np.testing.assert_array_equal(m0.test(xt[::64]), m1.test(xt[::64]))
