@@ -68,6 +68,18 @@ class _MeshMixin:
             return jax.device_put(x)
         return jax.device_put(x, self._sh_data if shard else self._sh_rep)
 
+    def _dev_batch(self, arrays, shard_flags=None):
+        """ONE batched host->device transfer for several arrays —
+        individual puts cost ~1.5 ms each over the tunnel, a tuple put
+        amortizes (measured 18.7 -> 11.1 ms for 12 arrays)."""
+        if self.mesh is None:
+            return jax.device_put(tuple(arrays))
+        if shard_flags is None:
+            shard_flags = (False,) * len(arrays)
+        shs = tuple(self._sh_data if f else self._sh_rep
+                    for f in shard_flags)
+        return jax.device_put(tuple(arrays), shs)
+
     def _replicate_state(self):
         """Pin store (+ factors) to the replicated sharding after retrain
         so per-frame compiles see stable input shardings."""
@@ -150,10 +162,9 @@ class _MeshMixin:
         sel = np.full(k, -1, np.int32)
         sel[:len(ids)] = ids
         nd = self.index.get_nodes(sel)
-        self._mirror = cluster.scatter_mirror(
-            self._mirror, self._dev(sel), self._dev(nd["pos"]),
-            self._dev(nd["grad"]), self._dev(nd["val"]),
-            self._dev(nd["pos_sig"]), self._dev(nd["grad_sig"]))
+        args = self._dev_batch((sel, nd["pos"], nd["grad"], nd["val"],
+                                nd["pos_sig"], nd["grad_sig"]))
+        self._mirror = cluster.scatter_mirror(self._mirror, *args)
         if self.mesh is not None:
             self._mirror = jax.device_put(self._mirror, self._sh_rep)
 
@@ -175,8 +186,9 @@ class _MeshMixin:
             cc[:n] = np.floor(centers[live] / self.cell_size).astype(
                 np.int32)
             sl[:n] = slots[live]
-        self.grid = cluster.build_grid_device(
-            self._dev(cc), self._dev(sl), self.dim, self.grid_half)
+        ccd, sld = self._dev_batch((cc, sl))
+        self.grid = cluster.build_grid_device(ccd, sld, self.dim,
+                                              self.grid_half)
         if self.mesh is not None:
             self.grid = jax.device_put(self.grid, self._sh_rep)
 
@@ -220,8 +232,9 @@ class _MeshMixin:
         sl[:n] = slots[live]
         side = 2 * self.grid_half
         self._nbr_dense = side ** self.dim <= (1 << 18)
+        ccd, sld = self._dev_batch((cc, sl))
         self._nbrs = cluster.build_neighbor_table(
-            self._dev(cc), self._dev(sl), self.store.trained,
+            ccd, sld, self.store.trained,
             self.grid_half, self._noff, self.cap.nbr_k, self._nbr_dense)
         if self.mesh is not None:
             self._nbrs = jax.device_put(self._nbrs, self._sh_rep)
@@ -318,10 +331,12 @@ def _retrain_store(m) -> None:
                 slots[:bb] = rt["slots"][rr]
                 if m._mirror is not None:
                     # support gathered on device from the node mirror:
-                    # only the index array travels
+                    # only the index array travels (one batched put)
+                    sl_d, ok_d, sup_d = m._dev_batch(
+                        (slots, slots >= 0, sup),
+                        (False, False, True))
                     m.store = cluster.retrain_cells_from_mirror(
-                        m.store, m._mirror, m._dev(slots),
-                        m._dev(slots >= 0), m._dev(sup, shard=True),
+                        m.store, m._mirror, sl_d, ok_d, sup_d,
                         m.p.map_scale_param)
                     continue
                 vmask = sup >= 0
@@ -554,10 +569,10 @@ class GPisMap2D(_MeshMixin):
                 continue
             rmax = float(rg_p[validh].max())
             g_max = nb // self.op.group_size + 2
+            th_d, rg_d, tr_d, rot_d = self._dev_batch(
+                (th_p, rg_p, tr, rot), (True, True, False, False))
             _, obs, nm = mapper2d.frame_compute_2d(
-                self._dev(th_p, shard=True), self._dev(rg_p, shard=True),
-                self._dev(tr), self._dev(rot), self.p, self.op,
-                g_max=g_max)
+                th_d, rg_d, tr_d, rot_d, self.p, self.op, g_max=g_max)
             pend.append((tr, rot, rmax, n_valid, obs, nm))
 
         for item in pend:
@@ -575,13 +590,11 @@ class GPisMap2D(_MeshMixin):
                 d = self.index.get_nodes(sel)
                 valid = np.zeros(k, bool)
                 valid[:n] = True
-                rv = mapper2d.reeval_2d(
-                    obs, self._dev(d["pos"], shard=True),
-                    self._dev(d["grad"], shard=True),
-                    self._dev(d["pos_sig"], shard=True),
-                    self._dev(d["grad_sig"], shard=True),
-                    self._dev(valid, shard=True), self._dev(tr),
-                    self._dev(rot), self.p, self.op)
+                args = self._dev_batch(
+                    (d["pos"], d["grad"], d["pos_sig"], d["grad_sig"],
+                     valid, tr, rot),
+                    (True, True, True, True, True, False, False))
+                rv = mapper2d.reeval_2d(obs, *args, self.p, self.op)
             rv, nm = jax.device_get((rv, nm))   # ONE blocking pull/frame
             if n:
                 self.index.apply_reeval(

@@ -205,9 +205,9 @@ class GPisMap3D(_MeshMixin):
             if nv <= 1:
                 pend.append(None)
                 continue
+            dep_d, tr_d, rot_d = self._dev_batch((depth, tr, rot))
             prep, obs, nm = mapper3d.frame_compute_3d(
-                self._dev(depth), self._dev(tr), self._dev(rot), self.cam,
-                self.p, self.op)
+                dep_d, tr_d, rot_d, self.cam, self.p, self.op)
             pend.append((tr, rot, rmax, obs, nm))
 
         for item in pend:
@@ -304,11 +304,9 @@ class GPisMap3D(_MeshMixin):
         cc[:len(kept)] = coords
         cok = np.zeros(cpad, bool)
         cok[:len(kept)] = True
-        args = (obs, self._dev(d["pos"]), self._dev(d["grad"]),
-                self._dev(d["pos_sig"]), self._dev(d["grad_sig"]),
-                self._dev(valid), self._dev(cc), self._dev(cok),
-                self._dev(tr), self._dev(rot), jnp.float32(self.cell_size),
-                self.p, self.op)
+        put = self._dev_batch((d["pos"], d["grad"], d["pos_sig"],
+                               d["grad_sig"], valid, cc, cok, tr, rot))
+        args = (obs, *put, jnp.float32(self.cell_size), self.p, self.op)
         if self.reeval_mode == "hybrid":
             rv, drop = mapper3d.reeval_hybrid_3d(
                 *args, compat=self.compat_reloc)
