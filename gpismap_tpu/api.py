@@ -352,7 +352,7 @@ def _retrain_store(m) -> None:
                     m._dev(vmask, shard=True), m.p.map_scale_param)
     m.index.clear_active()
     m._rebuild_grid()
-    m._build_nbrs()
+    m._nbrs = None       # candidate table rebuilt lazily at next test()
     m._refresh_factors(rt["slots"][:b] if b else np.zeros(0, np.int32))
     m._replicate_state()
 
@@ -732,6 +732,8 @@ class GPisMap2D(_MeshMixin):
         # evaluate real cluster GPs just to discard the rows)
         xq = np.full((qp, self.dim), 1e6, np.float32)
         xq[:nq] = x
+        if self._nbrs is None:
+            self._build_nbrs()
         def _run(up):
             fn = cluster.map_test if self.mesh is None \
                 else cluster.map_test_sharded

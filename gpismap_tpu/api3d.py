@@ -414,6 +414,8 @@ class GPisMap3D(_MeshMixin):
         # far-away padding: no candidate cells -> no evaluation tiles
         xq = np.full((qp, 3), 1e6, np.float32)
         xq[:nq] = x
+        if self._nbrs is None:
+            self._build_nbrs()
         def _run(up):
             fn = cluster.map_test if self.mesh is None \
                 else cluster.map_test_sharded

@@ -99,11 +99,11 @@ def test_mapper_table_matches_window_2d(monkeypatch):
     m1 = GPisMap2D()
     for fr in frames:
         m1.update(fr.thetas, fr.ranges, fr.pose)
-    assert m1._nbrs is not None
 
     q, _ = datasets.gazebo_test_grid()
     r0 = m0.test(q[::32])
     r1 = m1.test(q[::32])
+    assert m1._nbrs is not None          # built lazily by test()
     np.testing.assert_array_equal(r0, r1)
 
 
