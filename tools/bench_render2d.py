@@ -20,6 +20,19 @@ REPO = os.path.dirname(HERE)
 sys.path.insert(0, REPO)
 
 
+
+def _drain(out):
+    """Scalar result pull — on the tunneled backend block_until_ready can
+    resolve before remote execution completes; this serializes behind the
+    whole queue."""
+    import jax
+    import jax.numpy as jnp
+    leaves = [x for x in jax.tree.leaves(out)
+              if hasattr(x, "dtype") and hasattr(x, "ravel")]
+    if leaves:
+        jax.device_get(jnp.sum(leaves[0].ravel()[:1]))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rays", type=int, default=16384)
@@ -52,10 +65,11 @@ def main():
 
     out = render.sphere_trace(m.store, m.grid, o_d, d_d, cfg, factors)
     jax.block_until_ready(out)
+    _drain(out)
     t0 = time.time()
     for _ in range(args.reps):
         out = render.sphere_trace(m.store, m.grid, o_d, d_d, cfg, factors)
-    jax.block_until_ready(out)
+    _drain(out)
     fwd_s = (time.time() - t0) / args.reps
     hit = float(np.asarray(out["hit"]).mean())
 
@@ -71,11 +85,12 @@ def main():
     try:
         g = gfun(m.store.alpha, sc, m.store, m.grid, factors, o_d, d_d)
         jax.block_until_ready(g)
+        _drain(g)
         t0 = time.time()
         for _ in range(args.reps):
             g = gfun(m.store.alpha, sc, m.store, m.grid, factors, o_d,
                      d_d)
-        jax.block_until_ready(g)
+        _drain(g)
         bwd_s = round((time.time() - t0) / args.reps, 4)
         dscale = float(g[1])
     except Exception as e:  # noqa: BLE001

@@ -23,12 +23,23 @@ sys.path.insert(0, REPO)
 
 def _bench(fn, reps):
     import jax
+    import jax.numpy as jnp
+
+    def drain(o):
+        # scalar result pull: on the tunneled backend block_until_ready
+        # can resolve before remote execution completes
+        leaves = [x for x in jax.tree.leaves(o)
+                  if hasattr(x, "dtype") and hasattr(x, "ravel")]
+        if leaves:
+            jax.device_get(jnp.sum(leaves[0].ravel()[:1]))
+
     out = fn()
     jax.block_until_ready(out)
+    drain(out)
     t0 = time.time()
     for _ in range(reps):
         out = fn()
-    jax.block_until_ready(out)
+    drain(out)
     return (time.time() - t0) / reps
 
 
