@@ -23,6 +23,9 @@ def main():
     ap.add_argument("--frames", type=int, default=None)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", default="demo3d.png")
+    ap.add_argument("--no-slices", action="store_true",
+                    help="skip the two oblique SDF slice planes "
+                    "(visualize_gpisMap3.m:53-82)")
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -62,6 +65,15 @@ def main():
     fig = plt.figure(figsize=(9, 8))
     ax = fig.add_subplot(111, projection="3d")
     viz.plot_surface_3d(ax, verts, faces, vertex_var)
+    if not args.no_slices:
+        planes = viz.slice_planes_3d()
+        slice_res = [m.test(pts) for pts, _ in planes]
+        mp = viz.plot_slices_3d(ax, planes, slice_res)
+        fig.colorbar(mp, ax=ax, shrink=0.6, label="SDF [m]")
+        ax.set_xlim(-0.09, 0.17)
+        ax.set_ylim(-0.13, 0.17)
+        ax.set_zlim(0.0, 0.30)
+        ax.view_init(elev=30, azim=-30)
     ax.set_title(f"gpismap_tpu 3D — {len(frames)} frames, "
                  f"{m.num_nodes} surface nodes")
     fig.savefig(args.out, dpi=110, bbox_inches="tight")

@@ -46,6 +46,17 @@ class _MeshMixin:
     divides every sharded axis.
     """
 
+    @property
+    def wall_stats(self):
+        """Host-side wall-clock accumulators (seconds) for the pipelined
+        update loop — the driver-visible budget the device tables can't
+        see (uploads, dispatch enqueueing, the one blocking pull, host
+        tree replay). tools/wall_profile.py prints the per-frame table."""
+        if not hasattr(self, "_wall_stats"):
+            import collections
+            self._wall_stats = collections.defaultdict(float)
+        return self._wall_stats
+
     def _init_mesh(self, mesh):
         self.mesh = mesh
         if mesh is None:
@@ -239,7 +250,20 @@ class _MeshMixin:
         if self.mesh is not None:
             self._nbrs = jax.device_put(self._nbrs, self._sh_rep)
 
-    def _refresh_factors(self, retrained_slots: np.ndarray) -> None:
+    def _refresh_buckets(self) -> tuple:
+        """Static refresh-size set: the retrain buckets rounded up to the
+        128-lane-aligned system sizes (None = full capacity). Kept small
+        and stable so the per-bucket update_factors programs compile
+        once."""
+        out = []
+        for b in self._retrain_buckets:
+            mb2 = cluster.refresh_bucket(b, self.cap.gp_support, self.dim)
+            if mb2 is not None and mb2 not in out:
+                out.append(mb2)
+        return tuple(sorted(out)) + (None,)
+
+    def _refresh_factors(self, retrained_slots: np.ndarray,
+                         counts: np.ndarray | None = None) -> None:
         """Incremental factor-cache maintenance after a retrain.
 
         If the live slot set is unchanged since the cache was filled, only
@@ -247,7 +271,12 @@ class _MeshMixin:
         the retrain already computed their fresh Cholesky factors' inputs,
         so the next test() skips the full factorize_slots refill. Any
         slot-set change (insert into a new cell, prune) falls back to full
-        invalidation."""
+        invalidation.
+
+        counts: per-slot valid-support counts (rt["counts"]); cells are
+        grouped by refresh bucket so small cells re-factorize at small
+        sizes (equal to f32 rounding; cluster.update_factors) — one
+        oversized cell no longer forces every refresh to full M'."""
         old, self._factors = self._factors, None
         if old is None or getattr(self, "_factors_slots", None) is None:
             self._factors_slots = None
@@ -260,13 +289,26 @@ class _MeshMixin:
         if len(retrained_slots) == 0:      # nothing retrained: still valid
             self._factors = old
             return
-        bpad = _next_pow2(len(retrained_slots), lo=8)
-        sl = np.full(bpad, -1, np.int32)
-        sl[:len(retrained_slots)] = retrained_slots
         linv_buf, uniq = old
-        linv_buf = cluster.update_factors(
-            self.store, linv_buf, uniq, self._dev(sl),
-            self.p.map_scale_param)
+        buckets = self._refresh_buckets()
+        if counts is None:
+            groups = [(None, np.asarray(retrained_slots))]
+        else:
+            groups = []
+            assigned = np.zeros(len(retrained_slots), bool)
+            for mb2 in buckets:
+                sel = (~assigned if mb2 is None
+                       else (~assigned) & (counts <= mb2))
+                assigned |= sel
+                if sel.any():
+                    groups.append((mb2, np.asarray(retrained_slots)[sel]))
+        for mb2, sl_np in groups:
+            bpad = _next_pow2(len(sl_np), lo=8)
+            sl = np.full(bpad, -1, np.int32)
+            sl[:len(sl_np)] = sl_np
+            linv_buf = cluster.update_factors(
+                self.store, linv_buf, uniq, self._dev(sl),
+                self.p.map_scale_param, mb=mb2)
         self._factors = (linv_buf, uniq)
         if self.mesh is not None:
             self._factors = jax.device_put(self._factors, self._sh_rep)
@@ -284,11 +326,18 @@ def _retrain_store(m) -> None:
     paying the worst case. Results are exactly equal to full-padding fits
     (masked identity rows; see cluster.retrain_cells).
     """
+    import time as _time
+    wall = m.wall_stats
+    _t0 = _time.time()
     mcap = m.cap.gp_support
     m._sync_mirror()     # flush this frame's node mutations to device
+    _t = _time.time()
+    wall["retrain.mirror_sync"] += _t - _t0
     rt = m.index.collect_retrain(m.p.gp_radius_times, mcap,
                                  m.cap.retrain_batch * 16)
+    wall["retrain.collect_host"] += _time.time() - _t
     b = rt["n"]
+    _t = _time.time()
     if b:
         if rt["total"] > b:
             m.stats["retrain_truncated"] = rt["total"] - b
@@ -350,11 +399,17 @@ def _retrain_store(m) -> None:
                     m._dev(nd["pos_sig"].reshape(shp), shard=True),
                     m._dev(nd["grad_sig"].reshape(shp), shard=True),
                     m._dev(vmask, shard=True), m.p.map_scale_param)
+    wall["retrain.fit_dispatch"] += _time.time() - _t
+    _t = _time.time()
     m.index.clear_active()
     m._rebuild_grid()
+    wall["retrain.grid_rebuild"] += _time.time() - _t
+    _t = _time.time()
     m._nbrs = None       # candidate table rebuilt lazily at next test()
-    m._refresh_factors(rt["slots"][:b] if b else np.zeros(0, np.int32))
+    m._refresh_factors(rt["slots"][:b] if b else np.zeros(0, np.int32),
+                       counts=rt["counts"][:b] if b else None)
     m._replicate_state()
+    wall["retrain.factor_refresh"] += _time.time() - _t
 
 
 def _default_buckets(mcap: int) -> tuple:
@@ -551,6 +606,7 @@ class GPisMap2D(_MeshMixin):
                 self.update(th, rg, pose)
             return
         pend = []
+        _tp0 = _time.time()
         for th, rg, pose in frames:
             th = np.asarray(th, np.float32).reshape(-1)
             rg = np.asarray(rg, np.float32).reshape(-1)
@@ -574,7 +630,9 @@ class GPisMap2D(_MeshMixin):
             _, obs, nm = mapper2d.frame_compute_2d(
                 th_d, rg_d, tr_d, rot_d, self.p, self.op, g_max=g_max)
             pend.append((tr, rot, rmax, n_valid, obs, nm))
+        self.wall_stats["precompute_dispatch"] += _time.time() - _tp0
 
+        wall = self.wall_stats
         for item in pend:
             if item is None:
                 continue
@@ -583,6 +641,8 @@ class GPisMap2D(_MeshMixin):
             node_ids = self._inview_node_ids(tr, rot, rmax)
             n = len(node_ids)
             rv = None
+            _t = _time.time()
+            wall["inview_host"] += _t - _t0
             if n:
                 k = _next_pow2(n)
                 sel = np.full(k, -1, np.int32)
@@ -590,12 +650,21 @@ class GPisMap2D(_MeshMixin):
                 d = self.index.get_nodes(sel)
                 valid = np.zeros(k, bool)
                 valid[:n] = True
+                _t2 = _time.time()
+                wall["gather_host"] += _t2 - _t
                 args = self._dev_batch(
                     (d["pos"], d["grad"], d["pos_sig"], d["grad_sig"],
                      valid, tr, rot),
                     (True, True, True, True, True, False, False))
+                _t = _time.time()
+                wall["upload"] += _t - _t2
                 rv = mapper2d.reeval_2d(obs, *args, self.p, self.op)
+                _t2 = _time.time()
+                wall["reeval_dispatch"] += _t2 - _t
+                _t = _t2
             rv, nm = jax.device_get((rv, nm))   # ONE blocking pull/frame
+            _t2 = _time.time()
+            wall["blocking_pull"] += _t2 - _t
             if n:
                 self.index.apply_reeval(
                     node_ids, np.asarray(rv.action)[:n],
@@ -604,9 +673,14 @@ class GPisMap2D(_MeshMixin):
                     np.asarray(rv.grad_noise)[:n],
                     np.asarray(rv.dbl_pos_sig)[:n],
                     np.asarray(rv.dbl_grad_sig)[:n], -self.p.fbias)
+            _t = _time.time()
+            wall["tree_replay"] += _t - _t2
             n_new = self._apply_newmeas(nm)
             _t1 = _time.time()
+            wall["newmeas_apply"] += _t1 - _t
             self._update_gps()
+            wall["retrain_total"] += _time.time() - _t1
+            wall["n_frames"] += 1
             self.stats.update(
                 frame=self.frame, n_valid_beams=n_valid,
                 n_nodes=self.index.num_nodes,
@@ -745,20 +819,29 @@ class GPisMap2D(_MeshMixin):
                 **({} if self.mesh is None else {"mesh": self.mesh}))
 
         try:
-            f, g, vf, vg, nd = _run(self._use_pallas())
+            f, g, vf, vg, info = _run(self._use_pallas())
         except _pallas_error_types() as e:
             if not self._use_pallas():
                 raise
             self._pallas_ok = False      # sticky XLA fallback
             self.stats["pallas_error"] = repr(e)
-            f, g, vf, vg, nd = _run(False)
+            f, g, vf, vg, info = _run(False)
         # ONE batched host pull (separate np.asarray calls would pay the
-        # tunnel round trip each)
-        f, g, vf, vg, nd = jax.device_get((f, g, vf, vg, nd))
-        if int(nd):
+        # tunnel round trip each); the candidate-table overflow counter
+        # rides along so table-path drops are never silent (config.py
+        # CapacityParam.nbr_k)
+        ovf = (self._nbrs.n_overflow if self._nbrs is not None
+               else np.int32(0))
+        f, g, vf, vg, info, ovf = jax.device_get((f, g, vf, vg, info, ovf))
+        if int(ovf):
+            self.stats["nbr_overflow"] = int(ovf)
+        self.stats["test_eval_pairs"] = int(info.n_pairs)
+        self.stats["test_phase2_queries"] = int(info.n_phase2)
+        if int(info.n_dropped):
             # max_active overflow / factor-cache miss dropped evaluations
             self.stats["test_dropped_pairs"] = (
-                self.stats.get("test_dropped_pairs", 0) + int(nd))
+                self.stats.get("test_dropped_pairs", 0)
+                + int(info.n_dropped))
         out = np.concatenate(
             [f[:, None], g, vf[:, None], vg], axis=-1)
         return out[:nq]

@@ -427,17 +427,26 @@ class GPisMap3D(_MeshMixin):
                 **({} if self.mesh is None else {"mesh": self.mesh}))
 
         try:
-            f, g, vf, vg, nd = _run(self._use_pallas())
+            f, g, vf, vg, info = _run(self._use_pallas())
         except _pallas_error_types() as e:
             if not self._use_pallas():
                 raise
             self._pallas_ok = False      # sticky XLA fallback
             self.stats["pallas_error"] = repr(e)
-            f, g, vf, vg, nd = _run(False)
-        f, g, vf, vg, nd = jax.device_get((f, g, vf, vg, nd))  # ONE pull
-        if int(nd):
+            f, g, vf, vg, info = _run(False)
+        # ONE batched pull; the candidate-table overflow counter rides
+        # along so table-path drops are never silent (CapacityParam.nbr_k)
+        ovf = (self._nbrs.n_overflow if self._nbrs is not None
+               else np.int32(0))
+        f, g, vf, vg, info, ovf = jax.device_get((f, g, vf, vg, info, ovf))
+        if int(ovf):
+            self.stats["nbr_overflow"] = int(ovf)
+        self.stats["test_eval_pairs"] = int(info.n_pairs)
+        self.stats["test_phase2_queries"] = int(info.n_phase2)
+        if int(info.n_dropped):
             self.stats["test_dropped_pairs"] = (
-                self.stats.get("test_dropped_pairs", 0) + int(nd))
+                self.stats.get("test_dropped_pairs", 0)
+                + int(info.n_dropped))
         out = np.concatenate(
             [f[:, None], g, vf[:, None], vg], axis=-1)
         return out[:nq]

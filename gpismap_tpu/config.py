@@ -191,7 +191,8 @@ class CapacityParam:
     max_beams: int = 512
     # Candidate-table row width (models/cluster.NeighborTable): max
     # trained cells registered per grid cell's search window (overflow:
-    # counted in NeighborTable.n_overflow, surfaced via stats).
+    # counted in NeighborTable.n_overflow, surfaced as
+    # stats["nbr_overflow"] by test()).
     nbr_k: int = 48
 
 

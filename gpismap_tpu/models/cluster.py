@@ -456,10 +456,59 @@ def factorize_slots(store: ClusterStore, slots: jnp.ndarray, scale,
         slot_of >= 0, slot_of, big)
 
 
-@jax.jit
+def refresh_bucket(mb, m: int, d: int):
+    """Smallest support-row count >= mb whose padded system size
+    (1+d)*mb is 128-lane aligned (the blocked-factorization granularity
+    — ops/gp._use_blocked_chol); None when only the full capacity
+    qualifies (then the bucketed refresh has nothing to save)."""
+    import math
+    if mb is None:
+        return None
+    step = 128 // math.gcd(1 + d, 128)      # d=3 -> 32; d=2 -> 128
+    mb2 = ((int(mb) + step - 1) // step) * step
+    return mb2 if 0 < mb2 < m else None
+
+
+def _factorize_cells_bucketed(store: ClusterStore, slots: jnp.ndarray,
+                              scale, mb: int) -> jnp.ndarray:
+    """L^-1 for slots whose valid support lies in rows [:mb], computed at
+    the SMALL size and embedded into the full-M' layout.
+
+    Masked identity-row padding makes this mathematically exact: padded
+    rows of the train covariance are e_i, so the Cholesky recursion
+    leaves them as identity rows/cols — L^-1 of the full system IS the
+    small L^-1 scattered at the real-row positions (same argument as
+    the size-bucketed retrain, retrain_cells). Numerically the two
+    sizes reassociate reductions differently, so entries agree to f32
+    rounding (measured <=1e-6 abs), not bitwise. Cost: (mb/M)^3 of the
+    full factorization FLOPs and half its sequential block depth.
+    """
+    from ..ops.gp import _chol, linv_from_chol, ongpis_prepare
+
+    m = store.x.shape[1]
+    d = store.x.shape[-1]
+    mp = store.alpha.shape[-1]
+    sc = jnp.clip(slots, 0, store.x.shape[0] - 1)
+    xs = store.x[sc][:, :mb]
+    vl = store.valid[sc][:, :mb] & (slots >= 0)[:, None]
+    gradflag, sigx = ongpis_prepare(store.grad[sc][:, :mb],
+                                    store.sigx[sc][:, :mb],
+                                    store.siggrad[sc][:, :mb], vl)
+    k = kernels.matern32_deriv_train_cov(xs, sigx,
+                                         store.siggrad[sc][:, :mb],
+                                         gradflag, vl, scale)
+    linv_s = linv_from_chol(_chol(k))       # [B, (1+d)mb, (1+d)mb]
+    idx = jnp.concatenate(
+        [b * m + jnp.arange(mb, dtype=jnp.int32) for b in range(1 + d)])
+    full = jnp.broadcast_to(jnp.eye(mp, dtype=linv_s.dtype),
+                            (slots.shape[0], mp, mp))
+    return full.at[:, idx[:, None], idx[None, :]].set(linv_s)
+
+
+@functools.partial(jax.jit, static_argnames=("mb",))
 def update_factors(store: ClusterStore, linv_buf: jnp.ndarray,
                    uniq: jnp.ndarray, slots: jnp.ndarray,
-                   scale) -> jnp.ndarray:
+                   scale, mb=None) -> jnp.ndarray:
     """Incremental twin of factorize_slots: refresh L^-1 for the given
     (just-retrained) slots inside an existing factor buffer.
 
@@ -471,32 +520,151 @@ def update_factors(store: ClusterStore, linv_buf: jnp.ndarray,
     slots: [B], -1-padded. Callers must verify the live slot set is
     unchanged (every real slot already present in uniq) before taking
     this path; slots that miss uniq are dropped here as a backstop.
+
+    mb (static): when the retrain fitted every refreshed cell at a
+    support bucket <= mb rows, pass it (via refresh_bucket) to
+    factorize at the small size and embed — equal to f32 rounding,
+    (mb/M)^3 the FLOPs (the 3D refresh measured 69.8 ms at full
+    MP=1280; the median frame fits in mb=160).
     """
     big = jnp.iinfo(jnp.int32).max
     max_active = linv_buf.shape[0]
     sl = jnp.where(slots >= 0, slots, big).astype(jnp.int32)
     pos = jnp.clip(jnp.searchsorted(uniq, sl), 0, max_active - 1)
     hit = (sl < big) & (uniq[pos] == sl)
-    new_linv = _factorize_cells(
-        store, jnp.where(hit, slots, -1).astype(jnp.int32), scale,
-        chunk=min(128, slots.shape[0]))
+    keep = jnp.where(hit, slots, -1).astype(jnp.int32)
+    if mb is not None and mb < store.x.shape[1]:
+        new_linv = _factorize_cells_bucketed(store, keep, scale, mb)
+    else:
+        new_linv = _factorize_cells(store, keep, scale,
+                                    chunk=min(128, slots.shape[0]))
     tgt = jnp.where(hit, pos, max_active)
     ext = jnp.concatenate(
         [linv_buf, jnp.zeros((1,) + linv_buf.shape[1:], linv_buf.dtype)])
     return ext.at[tgt].set(new_linv, mode='drop')[:-1]
 
 
+class TestInfo(NamedTuple):
+    """Per-call observability counters returned by map_test.
+
+    n_dropped: (query, rank) evaluations whose cell fell outside the
+        factor buffer (max_active overflow / factor-cache miss) — the
+        test-path twin of the index's `overflow_support` counter.
+    n_pairs: (query, rank) pairs actually evaluated through the tile
+        plans (the FLOP-proportional work measure; the two-phase path
+        shows up here as ~Q + 2*n_phase2 instead of 3Q).
+    n_phase2: queries whose nearest cell was uncertain and went through
+        the rank-1/2 phase (0 on the single-phase path).
+    """
+
+    n_dropped: jnp.ndarray
+    n_pairs: jnp.ndarray
+    n_phase2: jnp.ndarray
+
+
+def _eval_pairs(store: ClusterStore, linv_buf: jnp.ndarray,
+                slot_of: jnp.ndarray, pair_comp: jnp.ndarray,
+                q: jnp.ndarray, div: int, scale, val_const, grad_const,
+                tile: int, max_active: int, use_pallas: bool,
+                vma_axes: tuple, remat: bool = False,
+                flat_eval: bool = False):
+    """Plan + evaluate one pair set against the factor buffer.
+
+    pair_comp: [P] compact cell id per pair (-1 skipped); pair p belongs
+    to query p // div. Returns (f [P], g [P, D], vf [P] (inf where not
+    evaluated), vg [P, D]).
+
+    flat_eval evaluates ALL tiles in one batched op instead of the
+    chunked lax.scan — a much simpler program whose transpose is plain
+    einsums (no scan/cond to differentiate through); the right choice
+    for small differentiable evaluations (render.implicit_correct).
+    Costs compute on the static padding tiles, so keep it off for the
+    big forward query batches.
+    """
+    npair = pair_comp.shape[0]
+    d = q.shape[-1]
+    plan = segmented.plan_tiles(pair_comp, max_active, tile)
+
+    if flat_eval and not use_pallas:
+        qt = q[jnp.clip(plan.pair_ids, 0) // div]       # [NT, T, D]
+        f_t, g_t, vf_t, vg_t = _ongpis_eval_tile(
+            store, linv_buf, slot_of, plan.tile_seg, qt, scale,
+            val_const, grad_const)
+        mask = (plan.pair_ids >= 0) & (plan.tile_seg[:, None] >= 0)
+        tgt = jnp.where(mask, plan.pair_ids, npair).reshape(-1)
+
+        def scat(init, val):
+            ext = jnp.concatenate(
+                [init, jnp.zeros((1,) + init.shape[1:], init.dtype)])
+            flat = val.reshape((-1,) + val.shape[2:])
+            return ext.at[tgt].set(flat, mode='drop')[:-1]
+
+        f_p = scat(jnp.zeros((npair,), q.dtype), f_t)
+        vf_p = scat(jnp.full((npair,), jnp.inf, q.dtype), vf_t)
+        g_p = scat(jnp.zeros((npair, d), q.dtype), g_t)
+        vg_p = scat(jnp.zeros((npair, d), q.dtype), vg_t)
+        return f_p, g_p, vf_p, vg_p
+
+    if use_pallas:
+        from ..ops.gp import ongpis_prepare
+        from ..ops.pallas_tile import tile_eval_pallas
+
+        slc = jnp.clip(slot_of, 0, store.x.shape[0] - 1)
+        cvalid = store.valid[slc] & (slot_of >= 0)[:, None]
+        gf_c, _ = ongpis_prepare(store.grad[slc], store.sigx[slc],
+                                 store.siggrad[slc], cvalid)
+        xt = jnp.swapaxes(store.x[slc], -1, -2)           # [S, D, M]
+        qt = jnp.swapaxes(q[jnp.clip(plan.pair_ids, 0) // div], -1, -2)
+        # raw tile_seg: -1 tiles (static padding) are skipped in-kernel
+        f_t, g_t, vf_t, vg_t = tile_eval_pallas(
+            plan.tile_seg, linv_buf, xt, store.alpha[slc],
+            gf_c.astype(q.dtype), cvalid.astype(q.dtype), qt, d=d,
+            scale=scale, val_const=val_const, grad_const=grad_const)
+        # scatter tile results back to pair order (dummy-row drop)
+        mask = (plan.pair_ids >= 0) & (plan.tile_seg[:, None] >= 0)
+        tgt = jnp.where(mask, plan.pair_ids, npair).reshape(-1)
+
+        def scat(init, val):
+            ext = jnp.concatenate(
+                [init, jnp.zeros((1,) + init.shape[1:], init.dtype)])
+            flat = val.reshape((-1,) + val.shape[2:])
+            return ext.at[tgt].set(flat, mode='drop')[:-1]
+
+        f_p = scat(jnp.zeros((npair,), q.dtype), f_t)
+        vf_p = scat(jnp.full((npair,), jnp.inf, q.dtype), vf_t)
+        g_p = scat(jnp.zeros((npair, d), q.dtype),
+                   jnp.swapaxes(g_t, -1, -2))
+        vg_p = scat(jnp.zeros((npair, d), q.dtype),
+                    jnp.swapaxes(vg_t, -1, -2))
+    else:
+        def eval_tile(segs, pids):
+            qt = q[jnp.clip(pids, 0) // div]                  # [G, T, D]
+            return _ongpis_eval_tile(store, linv_buf, slot_of, segs, qt,
+                                     scale, val_const, grad_const)
+
+        out0 = (jnp.zeros((npair,), q.dtype),
+                jnp.zeros((npair, d), q.dtype),
+                jnp.full((npair,), jnp.inf, q.dtype),
+                jnp.zeros((npair, d), q.dtype))
+        f_p, g_p, vf_p, vg_p = segmented.segmented_eval(
+            plan, eval_tile, out0, vma_axes=vma_axes, remat=remat)
+    return f_p, g_p, vf_p, vg_p
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("grid_half", "noff", "tile", "max_cells",
-                     "max_active", "use_pallas", "vma_axes", "nbr_dense"))
+                     "max_active", "use_pallas", "vma_axes", "nbr_dense",
+                     "two_phase", "remat", "flat_eval"))
 def map_test(store: ClusterStore, grid: jnp.ndarray, q: jnp.ndarray,
              cell_size, grid_half: int, noff: int,
              search_half, scale, val_const,
              grad_const, var_thre, default_var,
              tile: int, max_cells: int, max_active: int = 512,
              use_pallas: bool = False, factors=None,
-             vma_axes: tuple = (), nbrs=None, nbr_dense: bool = False):
+             vma_axes: tuple = (), nbrs=None, nbr_dense: bool = False,
+             two_phase: bool = True, remat: bool = False,
+             flat_eval: bool = False):
     """Batched SDF+gradient+variance query.
 
     Parity: GPisMap.cpp:665-763 (2D; var_thre 0.4) and
@@ -505,15 +673,21 @@ def map_test(store: ClusterStore, grid: jnp.ndarray, q: jnp.ndarray,
     GP, fall back to the up-to-3 nearest with variance-weighted blending of
     the best two when the nearest is uncertain.
 
+    two_phase=True (default) evaluates exactly like the reference's
+    control flow: rank-0 pairs first, then ONLY the uncertain queries'
+    rank-1/2 pairs (`if (var > obs_var_thre)` gate, GPisMap.cpp:706-722).
+    The single-phase path (two_phase=False) evaluates all 3 ranks
+    unconditionally and is kept as the equivalence oracle — outputs are
+    identical because the selection below never reads rank-1/2 results
+    of confident queries.
+
     max_active bounds the number of DISTINCT cluster cells one query batch
     may touch (each is Cholesky-factorized once into a transient buffer);
     overflowing cells are dropped from blending.
 
     Returns (f [Q], grad [Q, D], varf [Q], vargrad [Q, D],
-    n_dropped_pairs [] int32). n_dropped_pairs counts (query, rank)
-    evaluations whose cell fell outside the factor buffer (max_active
-    overflow / factor-cache miss) — the test-path twin of the index's
-    `overflow_support` counter. 0 means every candidate was evaluated.
+    info TestInfo). On the two-phase path pairs intentionally skipped
+    (confident queries' ranks 1-2) are NOT counted in info.n_dropped.
     """
     nq, d = q.shape
     if nbrs is not None:
@@ -546,14 +720,14 @@ def map_test(store: ClusterStore, grid: jnp.ndarray, q: jnp.ndarray,
     top_ok = top_ok & (jnp.arange(3)[None, :] < n_cand[:, None])
 
     # pair list: (query, rank) -> cell; pair p belongs to query p // 3
-    pair_seg = jnp.where(top_ok, top_slot, -1).reshape(-1)    # [3Q]
+    seg3 = jnp.where(top_ok, top_slot, -1)                    # [Q, 3]
 
     # compact the touched slots; factorize each exactly once — or reuse a
     # prefactorized cache (factors = (linv_buf, uniq_sorted)) filled by
     # factorize_slots, the analogue of the reference's per-cell stored L
     big = jnp.iinfo(jnp.int32).max
     if factors is None:
-        seg_for_uniq = jnp.where(pair_seg >= 0, pair_seg, big)
+        seg_for_uniq = jnp.where(seg3 >= 0, seg3, big).reshape(-1)
         uniq = jnp.unique(seg_for_uniq, size=max_active, fill_value=big)
         slot_of = jnp.where(uniq < big, uniq, -1).astype(jnp.int32)
         linv_buf = _factorize_cells(store, slot_of, scale,
@@ -561,63 +735,58 @@ def map_test(store: ClusterStore, grid: jnp.ndarray, q: jnp.ndarray,
     else:
         linv_buf, uniq = factors
         slot_of = jnp.where(uniq < big, uniq, -1).astype(jnp.int32)
-    comp = jnp.searchsorted(uniq, pair_seg)
-    comp = jnp.clip(comp, 0, max_active - 1)
-    hit = (pair_seg >= 0) & (uniq[comp] == pair_seg)
-    pair_comp = jnp.where(hit, comp, -1).astype(jnp.int32)
-    # pairs whose cell fell outside the factor buffer are silently skipped
-    # by the tile plan below — count them so callers can surface the drop
-    n_dropped = jnp.sum((pair_seg >= 0) & ~hit).astype(jnp.int32)
 
-    plan = segmented.plan_tiles(pair_comp, max_active, tile)
+    # slot -> compact id via a dense LUT: ONE gather per pair instead of
+    # a log(max_active)-step binary search (searchsorted measured 19 ms
+    # for the 196k-pair 2D bench batch, the LUT gather ~1 ms)
+    lut = jnp.full((max_cells + 1,), -1, jnp.int32)
+    lut = lut.at[jnp.where(uniq < big, uniq, max_cells)].set(
+        jnp.arange(max_active, dtype=jnp.int32), mode='drop')
 
-    if use_pallas:
-        from ..ops.gp import ongpis_prepare
-        from ..ops.pallas_tile import tile_eval_pallas
+    def compact(seg):
+        """[P] slot ids -> (compact ids [-1 skip], n_dropped)."""
+        comp = lut[jnp.clip(seg, 0, max_cells - 1)]
+        comp = jnp.where(seg >= 0, comp, -1)
+        n_drop = jnp.sum((seg >= 0) & (comp < 0)).astype(jnp.int32)
+        return comp, n_drop
 
-        slc = jnp.clip(slot_of, 0, store.x.shape[0] - 1)
-        cvalid = store.valid[slc] & (slot_of >= 0)[:, None]
-        gf_c, _ = ongpis_prepare(store.grad[slc], store.sigx[slc],
-                                 store.siggrad[slc], cvalid)
-        xt = jnp.swapaxes(store.x[slc], -1, -2)           # [S, D, M]
-        qt = jnp.swapaxes(q[jnp.clip(plan.pair_ids, 0) // 3], -1, -2)
-        # raw tile_seg: -1 tiles (static padding) are skipped in-kernel
-        f_t, g_t, vf_t, vg_t = tile_eval_pallas(
-            plan.tile_seg, linv_buf, xt, store.alpha[slc],
-            gf_c.astype(q.dtype), cvalid.astype(q.dtype), qt, d=d,
-            scale=scale, val_const=val_const, grad_const=grad_const)
-        # scatter tile results back to pair order (dummy-row drop)
-        mask = (plan.pair_ids >= 0) & (plan.tile_seg[:, None] >= 0)
-        tgt = jnp.where(mask, plan.pair_ids, 3 * nq).reshape(-1)
+    run = functools.partial(
+        _eval_pairs, store, linv_buf, slot_of, q=q, scale=scale,
+        val_const=val_const, grad_const=grad_const, tile=tile,
+        max_active=max_active, use_pallas=use_pallas, vma_axes=vma_axes,
+        remat=remat, flat_eval=flat_eval)
 
-        def scat(init, val):
-            ext = jnp.concatenate(
-                [init, jnp.zeros((1,) + init.shape[1:], init.dtype)])
-            flat = val.reshape((-1,) + val.shape[2:])
-            return ext.at[tgt].set(flat, mode='drop')[:-1]
-
-        f_p = scat(jnp.zeros((3 * nq,), q.dtype), f_t)
-        vf_p = scat(jnp.full((3 * nq,), jnp.inf, q.dtype), vf_t)
-        g_p = scat(jnp.zeros((3 * nq, d), q.dtype),
-                   jnp.swapaxes(g_t, -1, -2))
-        vg_p = scat(jnp.zeros((3 * nq, d), q.dtype),
-                    jnp.swapaxes(vg_t, -1, -2))
+    if two_phase:
+        # ---- phase 1: nearest-cell pairs only ----
+        pc1, nd1 = compact(seg3[:, 0])
+        f0, g0, vf0, vg0 = run(pair_comp=pc1, div=1)
+        # the reference's blend gate (GPisMap.cpp:706): ranks 1-2 are
+        # only consulted when the nearest evaluation is uncertain. An
+        # unevaluated/dropped rank-0 (vf0 == inf) counts as uncertain.
+        vf0m = jnp.where(top_ok[:, 0], vf0, jnp.inf)
+        uncertain = (n_cand >= 2) & ~(vf0m <= var_thre)
+        n_phase2 = jnp.sum(uncertain).astype(jnp.int32)
+        # ---- phase 2: ranks 1-2 of uncertain queries ----
+        seg12 = jnp.where(uncertain[:, None], seg3[:, 1:], -1)
+        pc2, nd2 = compact(seg12.reshape(-1))
+        f12, g12, vf12, vg12 = run(pair_comp=pc2, div=2)
+        f3 = jnp.concatenate([f0[:, None], f12.reshape(nq, 2)], axis=1)
+        g3 = jnp.concatenate([g0[:, None], g12.reshape(nq, 2, d)], axis=1)
+        vf3 = jnp.concatenate([vf0[:, None], vf12.reshape(nq, 2)], axis=1)
+        vg3 = jnp.concatenate([vg0[:, None], vg12.reshape(nq, 2, d)],
+                              axis=1)
+        vf3 = jnp.where(top_ok, vf3, jnp.inf)
+        n_dropped = nd1 + nd2
+        n_pairs = (jnp.sum(pc1 >= 0) + jnp.sum(pc2 >= 0)).astype(jnp.int32)
     else:
-        def eval_tile(segs, pids):
-            qt = q[jnp.clip(pids, 0) // 3]                    # [G, T, D]
-            return _ongpis_eval_tile(store, linv_buf, slot_of, segs, qt,
-                                     scale, val_const, grad_const)
-
-        out0 = (jnp.zeros((3 * nq,), q.dtype),
-                jnp.zeros((3 * nq, d), q.dtype),
-                jnp.full((3 * nq,), jnp.inf, q.dtype),
-                jnp.zeros((3 * nq, d), q.dtype))
-        f_p, g_p, vf_p, vg_p = segmented.segmented_eval(
-            plan, eval_tile, out0, vma_axes=vma_axes)
-    f3 = f_p.reshape(nq, 3)
-    g3 = g_p.reshape(nq, 3, d)
-    vf3 = jnp.where(top_ok, vf_p.reshape(nq, 3), jnp.inf)
-    vg3 = vg_p.reshape(nq, 3, d)
+        pair_comp, n_dropped = compact(seg3.reshape(-1))
+        n_pairs = jnp.sum(pair_comp >= 0).astype(jnp.int32)
+        n_phase2 = jnp.zeros((), jnp.int32)
+        f_p, g_p, vf_p, vg_p = run(pair_comp=pair_comp, div=3)
+        f3 = f_p.reshape(nq, 3)
+        g3 = g_p.reshape(nq, 3, d)
+        vf3 = jnp.where(top_ok, vf_p.reshape(nq, 3), jnp.inf)
+        vg3 = vg_p.reshape(nq, 3, d)
 
     # --- selection / blending (GPisMap.cpp:685-758) ---
     deff = jnp.zeros((nq,), q.dtype)
@@ -676,20 +845,22 @@ def map_test(store: ClusterStore, grid: jnp.ndarray, q: jnp.ndarray,
     f_out = jnp.where(bad, 0.0, f_out)
     g_out = jnp.where(bad[:, None], 0.0, g_out)
     vg_out = jnp.where(bad[:, None], 0.0, vg_out)
-    return f_out, g_out, vf_out, vg_out, n_dropped
+    return f_out, g_out, vf_out, vg_out, TestInfo(
+        n_dropped=n_dropped, n_pairs=n_pairs, n_phase2=n_phase2)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("grid_half", "noff", "tile", "max_cells",
-                     "max_active", "use_pallas", "mesh", "nbr_dense"))
+                     "max_active", "use_pallas", "mesh", "nbr_dense",
+                     "two_phase"))
 def map_test_sharded(store: ClusterStore, grid: jnp.ndarray,
                      q: jnp.ndarray, cell_size, grid_half: int, noff: int,
                      search_half, scale, val_const, grad_const, var_thre,
                      default_var, tile: int, max_cells: int,
                      max_active: int = 512, use_pallas: bool = False,
                      factors=None, mesh=None, nbrs=None,
-                     nbr_dense: bool = False):
+                     nbr_dense: bool = False, two_phase: bool = True):
     """map_test with the query batch sharded over a 1-axis mesh.
 
     shard_map (not sharding propagation) on purpose: each device plans and
@@ -710,12 +881,13 @@ def map_test_sharded(store: ClusterStore, grid: jnp.ndarray,
     def local_fn(store_, grid_, q_, cell_size_, search_half_, scale_,
                  val_const_, grad_const_, var_thre_, default_var_,
                  factors_, nbrs_):
-        f, g, vf, vg, nd = map_test(
+        f, g, vf, vg, info = map_test(
             store_, grid_, q_, cell_size_, grid_half, noff, search_half_,
             scale_, val_const_, grad_const_, var_thre_, default_var_,
             tile, max_cells, max_active, use_pallas, factors_,
-            vma_axes=(axis,), nbrs=nbrs_, nbr_dense=nbr_dense)
-        return f, g, vf, vg, jax.lax.psum(nd, axis)
+            vma_axes=(axis,), nbrs=nbrs_, nbr_dense=nbr_dense,
+            two_phase=two_phase)
+        return f, g, vf, vg, jax.lax.psum(info, axis)
 
     sc = jnp.float32
     ops = (store, grid, q, jnp.asarray(cell_size, sc),

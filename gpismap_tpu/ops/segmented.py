@@ -35,8 +35,18 @@ def plan_tiles(seg: jnp.ndarray, n_segments: int, tile: int) -> TilePlan:
     nt = p // tile + n_segments
     valid = seg >= 0
     segc = jnp.where(valid, seg, n_segments).astype(jnp.int32)
-    order = jnp.argsort(segc, stable=True)
-    sorted_seg = segc[order]
+    p2 = 1 << max(0, (p - 1)).bit_length()
+    if (n_segments + 1) * p2 < 2 ** 31:
+        # stable sort via one packed int32 key (seg * P2 + index): a
+        # single-operand sort measures ~2x faster than argsort's
+        # (key, iota) pair sort on TPU (1.6 vs 3.2 ms at 196k pairs)
+        key = segc * p2 + jnp.arange(p, dtype=jnp.int32)
+        skey = jnp.sort(key)
+        order = skey & (p2 - 1)
+        sorted_seg = skey >> p2.bit_length() - 1
+    else:
+        order = jnp.argsort(segc, stable=True)
+        sorted_seg = segc[order]
 
     counts = jnp.bincount(segc, length=n_segments + 1)[:n_segments]
     tiles_per = (counts + tile - 1) // tile
@@ -61,7 +71,8 @@ def plan_tiles(seg: jnp.ndarray, n_segments: int, tile: int) -> TilePlan:
 
 
 def segmented_eval(plan: TilePlan, eval_tile, out_init,
-                   tile_chunk: int = 32, vma_axes: tuple = ()):
+                   tile_chunk: int = 32, vma_axes: tuple = (),
+                   remat: bool = False):
     """Run eval_tile over tiles, scattering tile results into out arrays.
 
     eval_tile(seg_ids [G], pair_ids [G, T]) -> pytree of [G, T, ...] results
@@ -72,6 +83,12 @@ def segmented_eval(plan: TilePlan, eval_tile, out_init,
     vma_axes: when called inside shard_map (manual mode), the mesh axis
     names — the scan carry is marked device-varying up front so the
     lax.cond branches (skip vs compute) have matching types.
+
+    remat: checkpoint each chunk's compute — jax.grad then recomputes a
+    chunk's gathers/matmuls instead of materializing every chunk's
+    residuals across the scan (at 3D shapes one chunk's gathered
+    factors are [32, 1280, 1280] = 200 MB; ~70 chunks of saved
+    residuals crash the compile service). Free in forward-only use.
     """
     nt, tile = plan.pair_ids.shape
     pad_t = (-nt) % tile_chunk
@@ -103,6 +120,9 @@ def segmented_eval(plan: TilePlan, eval_tile, out_init,
             return o.at[tgt].set(r2, mode='drop')
 
         return jax.tree.map(scatter, out, res)
+
+    if remat:
+        compute = jax.checkpoint(compute)
 
     def body(out, args):
         segs, pids = args                       # [G], [G, T]

@@ -47,6 +47,9 @@ class RenderConfig(NamedTuple):
     t_max: float = 10.0
     step_scale: float = 0.9
     use_pallas: bool = False
+    two_phase: bool = True
+    remat: bool = False
+    flat_eval: bool = False
 
 
 class Hyper(NamedTuple):
@@ -105,8 +108,43 @@ def sdf_eval(store: cluster.ClusterStore, grid: jnp.ndarray, x: jnp.ndarray,
         val_const=h.val_const, grad_const=h.grad_const,
         var_thre=cfg.var_thre, default_var=cfg.default_var, tile=cfg.tile,
         max_cells=cfg.max_cells, max_active=cfg.max_active,
-        use_pallas=cfg.use_pallas, factors=factors)
+        use_pallas=cfg.use_pallas, factors=factors,
+        two_phase=cfg.two_phase, remat=cfg.remat,
+        flat_eval=cfg.flat_eval)
     return f + cfg.fbias, g, vf
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def implicit_correct(store: cluster.ClusterStore, grid: jnp.ndarray,
+                     origins: jnp.ndarray, dirs: jnp.ndarray,
+                     t_hat: jnp.ndarray, cfg: RenderConfig, factors=None,
+                     hyper: Hyper | None = None):
+    """One differentiable implicit-function correction of a marched depth:
+    t* = t_hat - f(o + t_hat d) / <grad f, d>.
+
+    This is the ONLY differentiable evaluation of the render path (the
+    march runs under stop_gradient); callers doing backward-heavy work
+    (pixel-gradient training) can march the full ray set forward, then
+    call this on the HIT rays only -- non-hit rays carry zero gradient
+    for any hit-masked loss, so the compaction is exact and shrinks the
+    backward program (the full-ray 3D backward overflows the remote
+    compile service; BASELINE.md render section). Configured for
+    autodiff: single-phase, FLAT tile evaluation (two_phase=False,
+    flat_eval=True forced here) — the backward is then plain transposed
+    einsums with no scan/cond to differentiate through, which is what
+    lets the 3D-production-shape gradient fit the remote compile
+    service. The Pallas kernel has no VJP so the XLA path is forced too.
+
+    Returns (t [N], f [N], g [N, D], vf [N]).
+    """
+    cfg = cfg._replace(use_pallas=False, two_phase=False, remat=True,
+                       flat_eval=True)
+    x_hat = origins + t_hat[:, None] * dirs
+    f, g, vf = sdf_eval(store, grid, x_hat, cfg, factors, hyper)
+    denom = jnp.sum(g * dirs, axis=-1)
+    denom = jnp.where(jnp.abs(denom) > 1e-3, denom,
+                      jnp.where(denom < 0, -1e-3, 1e-3))
+    return t_hat - f / denom, f, g, vf
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -161,21 +199,16 @@ def sphere_trace(store: cluster.ClusterStore, grid: jnp.ndarray,
                          jax.lax.stop_gradient(dirs))
     t_hat = jax.lax.stop_gradient(t_hat)
 
-    # implicit-function correction: carries d t*/d(inputs). The Pallas
-    # tile kernel has no VJP, so the one differentiable evaluation always
-    # takes the XLA path (the march above may use Pallas — it sits under
-    # stop_gradient).
-    x_hat = origins + t_hat[:, None] * dirs
-    f, g, vf = sdf_eval(store, grid, x_hat,
-                        cfg._replace(use_pallas=False), factors, hyper)
-    denom = jnp.sum(g * dirs, axis=-1)
-    denom = jnp.where(jnp.abs(denom) > 1e-3, denom,
-                      jnp.where(denom < 0, -1e-3, 1e-3))
-    t = t_hat - f / denom
+    # implicit-function correction: carries d t*/d(inputs); see
+    # implicit_correct (the march above may use Pallas / two-phase — it
+    # sits under stop_gradient).
+    t, f, g, vf = implicit_correct(store, grid, origins, dirs, t_hat, cfg,
+                                   factors, hyper)
     hit = (jnp.abs(f) < 10.0 * cfg.eps) & (t_hat < cfg.t_max)
     pos = origins + t[:, None] * dirs
     nrm = g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-9)
-    return dict(t=t, hit=hit, pos=pos, normal=nrm, var=vf, steps=steps)
+    return dict(t=t, t_hat=t_hat, hit=hit, pos=pos, normal=nrm, var=vf,
+                steps=steps)
 
 
 def camera_rays(pose_tr, pose_rot, cam, subsample: int = 4):

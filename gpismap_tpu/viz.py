@@ -175,6 +175,62 @@ def extract_surface_3d(res: np.ndarray, xtest: np.ndarray, grid_shape,
     return verts, faces
 
 
+def slice_planes_3d(ang_deg: float = 20.0):
+    """The two oblique SDF slice planes of the reference 3D visualization
+    (visualize_gpisMap3.m:53-68): a horizontal plane at z = 0.12 and a
+    vertical x = 0 plane, both rotated by R(ang)^T about the z axis
+    (about the point (0.04, 0.02, 0) / translated by (0.04, 0, 0)).
+
+    Returns [(pts [N, 3] float32 query points, grid_shape), ...] — query
+    each through test() and color by f + fbias (plot_slices_3d).
+    """
+    ang = np.deg2rad(ang_deg)
+    r = np.array([[np.cos(ang), np.sin(ang), 0.0],
+                  [-np.sin(ang), np.cos(ang), 0.0],
+                  [0.0, 0.0, 1.0]])
+    out = []
+    # plane 2: z = 0.12 sheet (visualize_gpisMap3.m:54-58)
+    xg2, yg2 = np.meshgrid(np.arange(-0.05, 0.13 + 1e-9, 0.01),
+                           np.arange(-0.10, 0.14 + 1e-9, 0.01))
+    pts = np.stack([xg2.ravel(), yg2.ravel(),
+                    np.full(xg2.size, 0.12)], 0)
+    c = np.array([[0.04], [0.02], [0.0]])
+    pts = r.T @ (pts - c) + c
+    out.append((pts.T.astype(np.float32), xg2.shape))
+    # plane 3: x = 0 sheet (visualize_gpisMap3.m:62-66)
+    yg3, zg3 = np.meshgrid(np.arange(-0.10, 0.14 + 1e-9, 0.01),
+                           np.arange(0.0, 0.30 + 1e-9, 0.01))
+    pts = np.stack([np.zeros(yg3.size), yg3.ravel(), zg3.ravel()], 0)
+    pts = r.T @ pts + np.array([[0.04], [0.0], [0.0]])
+    out.append((pts.T.astype(np.float32), yg3.shape))
+    return out
+
+
+def plot_slices_3d(ax, planes, results, fbias: float = 0.2,
+                   clim=(-0.05, 0.2), alpha: float = 0.6):
+    """Overlay the re-queried SDF slice planes on the 3D axes
+    (visualize_gpisMap3.m:70-82: jet colormap, CLim [-0.05, 0.2],
+    FaceAlpha 0.6).
+
+    planes: output of slice_planes_3d; results: matching list of [N, >=1]
+    test() outputs (column 0 = f).
+    """
+    from matplotlib import cm
+    from matplotlib.colors import Normalize
+
+    norm = Normalize(vmin=clim[0], vmax=clim[1])
+    mappable = cm.ScalarMappable(norm=norm, cmap="jet")
+    for (pts, shape), res in zip(planes, results):
+        f = (np.asarray(res)[:, 0] + fbias).reshape(shape)
+        colors = mappable.to_rgba(f)
+        colors[..., 3] = alpha
+        ax.plot_surface(pts[:, 0].reshape(shape), pts[:, 1].reshape(shape),
+                        pts[:, 2].reshape(shape), facecolors=colors,
+                        rstride=1, cstride=1, linewidth=0,
+                        antialiased=False, shade=False)
+    return mappable
+
+
 def plot_surface_3d(ax, verts, faces, vertex_var=None, var_thre=0.02):
     """Trisurf with variance alpha (visualize_gpisMap3.m:30-48)."""
     if len(verts) == 0:

@@ -74,6 +74,50 @@ def test_factor_cache_invalidated_on_slot_set_change():
         assert m._factors_slots is None
 
 
+def test_bucketed_factorize_matches_full():
+    """Factorizing at the retrain's support bucket and embedding into
+    the full-M' layout must equal the full-size factorization (masked
+    identity-row padding; cluster._factorize_cells_bucketed)."""
+    import dataclasses
+
+    from gpismap_tpu.config import CAPACITY_2D
+    from gpismap_tpu.models import cluster
+
+    rng = np.random.default_rng(7)
+    cap = dataclasses.replace(CAPACITY_2D, gp_support=64, max_cells=8)
+    d, b, mb, nvalid, scale = 3, 4, 32, 20, 0.8
+    assert cluster.refresh_bucket(nvalid, 64, d) == mb
+    store = cluster.make_store(cap, d)
+    x = rng.normal(size=(b, mb, d)).astype(np.float32)
+    g = rng.normal(size=(b, mb, d)).astype(np.float32)
+    g /= np.linalg.norm(g, axis=-1, keepdims=True)
+    valid = np.zeros((b, mb), bool)
+    valid[:, :nvalid] = True
+    store = cluster.retrain_cells(
+        store, jnp.arange(b, dtype=jnp.int32), jnp.ones(b, bool),
+        jnp.asarray(x), jnp.asarray(g),
+        jnp.asarray(rng.normal(size=(b, mb)).astype(np.float32) * 0.1),
+        jnp.full((b, mb), 0.02, jnp.float32),
+        jnp.full((b, mb), 0.02, jnp.float32), jnp.asarray(valid), scale)
+
+    slots = jnp.asarray([0, 1, 2, 3], jnp.int32)
+    full = cluster._factorize_cells(store, slots, scale)
+    buck = cluster._factorize_cells_bucketed(store, slots, scale, mb)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(buck),
+                               rtol=0, atol=2e-5)
+
+    # and through update_factors: refreshing with mb == refreshing full
+    uniq = jnp.concatenate([slots, jnp.full(
+        (cap.test_active_cells - b,), np.iinfo(np.int32).max, jnp.int32)])
+    linv0 = jnp.zeros((cap.test_active_cells,) + full.shape[1:],
+                      jnp.float32)
+    up_full = cluster.update_factors(store, linv0, uniq, slots, scale)
+    up_mb = cluster.update_factors(store, linv0, uniq, slots, scale,
+                                   mb=mb)
+    np.testing.assert_allclose(np.asarray(up_full), np.asarray(up_mb),
+                               rtol=0, atol=2e-5)
+
+
 def test_update_batch_matches_per_frame():
     """The pipelined update_batch is semantically the per-frame update()
     loop: identical node sets and query fields after the same frames."""

@@ -129,6 +129,69 @@ print(f"MULTIHOST_UPDATE_OK pid={pid}", flush=True)
 """
 
 
+# 3D twin of _UPDATE_WORKER: the full GPisMap3D online loop (camera
+# projection, hybrid re-eval, octree replay) crosses the controller
+# boundary — reference threading parity: GPisMap3.cpp:720-792,904-949.
+_UPDATE_WORKER_3D = r"""
+import os, sys, hashlib
+pid = int(sys.argv[1]); port = sys.argv[2]
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+import jax.numpy as jnp
+from gpismap_tpu.parallel import multihost
+
+multihost.initialize(coordinator_address=f"127.0.0.1:{port}",
+                     num_processes=2, process_id=pid)
+assert jax.process_count() == 2
+mesh = multihost.global_data_mesh()
+n_local_dev = len(jax.local_devices())
+
+from gpismap_tpu import datasets
+from gpismap_tpu.api3d import GPisMap3D
+from gpismap_tpu.models import cluster
+
+m = GPisMap3D()
+for fr in list(datasets.bigbird_frames())[:4]:
+    m.set_camera(fr.cam_id, "bigbird")
+    m.update(fr.depth, fr.pose)
+
+d = m.index.dump_nodes()
+alive = d["alive"]
+h = hashlib.sha256()
+for k in ("pos", "val", "grad", "pos_sig", "grad_sig"):
+    h.update(np.ascontiguousarray(d[k][alive]).tobytes())
+h.update(np.asarray(m.store.alpha).tobytes())
+h.update(np.asarray(m.store.trained).tobytes())
+
+dg = np.frombuffer(h.digest(), np.uint8).astype(np.float32)
+rows = np.repeat(dg[None], n_local_dev, 0)
+g = multihost.global_query_array(mesh, rows)
+spread = jax.jit(lambda a: jnp.max(a, 0) - jnp.min(a, 0))(g)
+assert np.asarray(spread).max() == 0.0, "controllers diverged"
+print(f"REPLAY_IDENTICAL pid={pid} nodes={int(alive.sum())}", flush=True)
+
+xtest, _ = datasets.bigbird_test_grid()
+qp = 1024
+xq = np.full((qp, 3), 1e6, np.float32)
+xq[:qp] = xtest[::14][:qp]
+local_q = xq[pid * (qp // 2):(pid + 1) * (qp // 2)]
+
+g_store, g_grid = multihost.replicate(mesh, (m.store, m.grid))
+g_q = multihost.global_query_array(mesh, local_q)
+f8, _, v8, _, _ = cluster.map_test_sharded(g_store, g_grid, g_q,
+                                           mesh=mesh, **m._test_kwargs())
+f_loc = multihost.local_rows(f8)
+v_loc = multihost.local_rows(v8)
+
+ref = m.test(xq)
+sl = slice(pid * (qp // 2), (pid + 1) * (qp // 2))
+np.testing.assert_allclose(f_loc, ref[sl, 0], rtol=1e-5, atol=1e-5)
+np.testing.assert_allclose(v_loc, ref[sl, 4], rtol=1e-5, atol=1e-5)
+print(f"MULTIHOST3D_UPDATE_OK pid={pid}", flush=True)
+"""
+
+
 def _run_two_process(worker_src, ok_marker, timeout=600):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     tests = os.path.join(repo, "tests")
@@ -172,5 +235,16 @@ def test_two_process_online_update_loop():
     collective on a state digest), and the replicated store then serves a
     sharded query batch matching each controller's local reference."""
     outs = _run_two_process(_UPDATE_WORKER, "MULTIHOST_UPDATE_OK")
+    for out in outs:
+        assert "REPLAY_IDENTICAL" in out, out
+
+
+@pytest.mark.slow
+def test_two_process_online_update_loop_3d():
+    """3D twin: 4 bigbird frames replayed on each controller, state
+    digests proven equal through a collective, then a sharded 3D query
+    batch served from the replicated store."""
+    outs = _run_two_process(_UPDATE_WORKER_3D, "MULTIHOST3D_UPDATE_OK",
+                            timeout=900)
     for out in outs:
         assert "REPLAY_IDENTICAL" in out, out

@@ -60,6 +60,47 @@ def test_neighbor_table_matches_window():
                 err_msg=f"dense={dense} {name}")
 
 
+def test_two_phase_matches_single_phase():
+    """The two-phase schedule (ranks 1-2 evaluated only for uncertain
+    queries, GPisMap.cpp:706-722) must return EXACTLY the single-phase
+    fields — the selection never reads rank-1/2 results of confident
+    queries, so skipping them is a pure work reduction."""
+    from gpismap_tpu.models import cluster
+
+    store, grid, kw = _circle_map()
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.uniform(-3, 3, (512, 2)), jnp.float32)
+    f1, g1, v1, w1, i1 = cluster.map_test(store, grid, q,
+                                          two_phase=False, **kw)
+    f2, g2, v2, w2, i2 = cluster.map_test(store, grid, q,
+                                          two_phase=True, **kw)
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
+    # the work counters prove both that phase 2 ran and that pairs were
+    # actually skipped
+    assert int(i2.n_phase2) > 0
+    assert int(i2.n_pairs) < int(i1.n_pairs)
+    assert int(i1.n_dropped) == int(i2.n_dropped) == 0
+
+
+def test_flat_eval_matches_scan():
+    """The flat (non-scanned) tile evaluation used by the differentiable
+    render correction must equal the chunked-scan evaluation."""
+    from gpismap_tpu.models import cluster
+
+    store, grid, kw = _circle_map()
+    rng = np.random.default_rng(5)
+    q = jnp.asarray(rng.uniform(-3, 3, (256, 2)), jnp.float32)
+    a = cluster.map_test(store, grid, q, two_phase=False, **kw)
+    b = cluster.map_test(store, grid, q, two_phase=False, flat_eval=True,
+                         **kw)
+    for x, y, name in zip(a[:4], b[:4], ("f", "g", "vf", "vg")):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
+                                      err_msg=name)
+
+
 def test_neighbor_table_overflow_counted():
     from gpismap_tpu.config import TREE_2D
     from gpismap_tpu.models import cluster
@@ -82,6 +123,24 @@ def test_neighbor_table_overflow_counted():
         jnp.asarray(cc), jnp.asarray(sl), store.trained,
         grid_half=kw["grid_half"], noff=kw["noff"], k_cap=1, dense=True)
     assert int(nbrs.n_overflow) > 0
+
+
+def test_mapper_surfaces_nbr_overflow(monkeypatch):
+    """A too-small nbr_k must surface in stats["nbr_overflow"] through
+    the full API path (never a silent divergence from the window path)."""
+    import dataclasses
+
+    from gpismap_tpu import datasets
+    from gpismap_tpu.api import GPisMap2D
+    from gpismap_tpu.config import CAPACITY_2D
+
+    monkeypatch.setenv("GPISMAP_NBR_TABLE", "1")
+    m = GPisMap2D(cap=dataclasses.replace(CAPACITY_2D, nbr_k=1))
+    for fr in list(datasets.gazebo_frames())[:2]:
+        m.update(fr.thetas, fr.ranges, fr.pose)
+    q, _ = datasets.gazebo_test_grid()
+    m.test(q[::64])
+    assert m.stats.get("nbr_overflow", 0) > 0
 
 
 def test_mapper_table_matches_window_2d(monkeypatch):

@@ -84,6 +84,50 @@ def test_depth_gradient_wrt_origin():
     np.testing.assert_allclose(float(g), float(fd), atol=0.05)
 
 
+def test_hit_compacted_correction_gradient_matches_full():
+    """The production 3D backward recipe (render.implicit_correct over
+    hit rays only) must give the same gradients as differentiating the
+    full sphere_trace for a hit-masked loss — non-hit rays carry zero
+    gradient by construction."""
+    from gpismap_tpu.render import implicit_correct
+
+    store, grid, cfg = _circle_map()
+    ang = np.linspace(0, 2 * np.pi, 8, endpoint=False).astype(np.float32)
+    origins = np.stack([3.0 * np.cos(ang), 3.0 * np.sin(ang)], -1)
+    dirs = -origins / np.linalg.norm(origins, axis=1, keepdims=True)
+    # a couple of rays that miss (point away)
+    origins = np.concatenate([origins, origins[:2]], 0).astype(np.float32)
+    dirs = np.concatenate([dirs, -dirs[:2]], 0).astype(np.float32)
+    o_d, d_d = jnp.asarray(origins), jnp.asarray(dirs)
+
+    def loss_full(alpha):
+        out = sphere_trace(store._replace(alpha=alpha), grid, o_d, d_d,
+                           cfg)
+        return jnp.sum(jnp.where(out["hit"], out["t"], 0.0))
+
+    g_full = np.asarray(jax.grad(loss_full)(store.alpha))
+
+    out = sphere_trace(store, grid, o_d, d_d, cfg)
+    hit = np.asarray(out["hit"])
+    t_hat = np.asarray(out["t_hat"])
+    idx = np.nonzero(hit)[0]
+    hpad = 16
+    sel = np.zeros(hpad, np.int64)
+    sel[:len(idx)] = idx
+    w = np.zeros(hpad, np.float32)
+    w[:len(idx)] = 1.0
+
+    def loss_hits(alpha):
+        t, _, _, _ = implicit_correct(
+            store._replace(alpha=alpha), grid, jnp.asarray(origins[sel]),
+            jnp.asarray(dirs[sel]), jnp.asarray(t_hat[sel]), cfg)
+        return jnp.sum(jnp.asarray(w) * t)
+
+    g_hits = np.asarray(jax.grad(loss_hits)(store.alpha))
+    assert len(idx) >= 8            # the aimed rays all hit
+    np.testing.assert_allclose(g_hits, g_full, rtol=1e-5, atol=1e-6)
+
+
 def test_depth_gradient_through_gp_training():
     # the north-star path: pixel depth gradients flow through the GP
     # posterior (fit included) back to the sensor/surface sample values

@@ -51,6 +51,10 @@ def main():
                     "footprint is ~n_steps x the forward's)")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--try-full-bwd", action="store_true",
+                    help="also attempt the full-ray-set unrestricted "
+                    "backward (known to overflow the remote compile "
+                    "service at 3D production shapes)")
     args = ap.parse_args()
 
     import jax
@@ -102,29 +106,82 @@ def main():
         out = render.sphere_trace(st, grid, o_, d_, cfg, factors_, hyper)
         return jnp.sum(jnp.where(out["hit"], out["t"], 0.0))
 
-    gfun = jax.jit(jax.grad(loss, argnums=(0, 1)))
     sc = jnp.asarray(m.p.map_scale_param, jnp.float32)
-    bsub = args.bwd_sub or 2 * args.sub
-    ob, db, _ = render.camera_rays(tr, rot, m.cam, subsample=bsub)
-    nb_rays = len(ob)
-    ob_d, db_d = jax.device_put((jnp.asarray(ob), jnp.asarray(db)))
     bwd_err = None
     bwd_s = bwd_rps = dscale = None
+    nb_rays = 0
+    if args.try_full_bwd:
+        gfun = jax.jit(jax.grad(loss, argnums=(0, 1)))
+        bsub = args.bwd_sub or 2 * args.sub
+        ob, db, _ = render.camera_rays(tr, rot, m.cam, subsample=bsub)
+        nb_rays = len(ob)
+        ob_d, db_d = jax.device_put((jnp.asarray(ob), jnp.asarray(db)))
+        try:
+            g = gfun(m.store.alpha, sc, m.store, m.grid, factors, ob_d,
+                     db_d)
+            jax.block_until_ready(g)
+            _drain(g)
+            t0 = time.time()
+            for _ in range(args.reps):
+                g = gfun(m.store.alpha, sc, m.store, m.grid, factors,
+                         ob_d, db_d)
+            _drain(g)
+            bwd_s = round((time.time() - t0) / args.reps, 4)
+            bwd_rps = round(nb_rays / bwd_s, 1)
+            dscale = float(g[1])
+        except Exception as e:  # noqa: BLE001 — report the forward rows
+            bwd_err = repr(e)[:300]
+            print(f"# full backward failed: {bwd_err}", file=sys.stderr,
+                  flush=True)
+
+    # ---- forward + backward, HIT-COMPACTED (the production recipe:
+    # march every ray forward, differentiate the implicit correction of
+    # the hit rays only — exact for any hit-masked loss, and the
+    # backward program fits the compile service; render.implicit_correct)
+    hitm = np.asarray(out["hit"])
+    t_hat = np.asarray(out["t_hat"])
+    idx = np.nonzero(hitm)[0]
+    n_hits = len(idx)
+    hpad = max(256, 1 << max(0, (n_hits - 1)).bit_length())
+    sel = np.zeros(hpad, np.int64)
+    sel[:n_hits] = idx
+    w = np.zeros(hpad, np.float32)
+    w[:n_hits] = 1.0
+    oh, dh, th, wd = jax.device_put(
+        (jnp.asarray(o[sel]), jnp.asarray(d[sel]),
+         jnp.asarray(t_hat[sel]), jnp.asarray(w)))
+
+    def loss_hits(alpha, scale, store, grid, factors_, o_, d_, th_, w_):
+        hyper = render.hyper_from_scale(scale, 3)
+        st = store._replace(alpha=alpha)
+        t, _, _, _ = render.implicit_correct(st, grid, o_, d_, th_, cfg,
+                                             factors_, hyper)
+        return jnp.sum(w_ * t)
+
+    ghits = jax.jit(jax.grad(loss_hits, argnums=(0, 1)))
+    hb_err = None
+    hb_s = hb_rps = hb_dscale = None
     try:
-        g = gfun(m.store.alpha, sc, m.store, m.grid, factors, ob_d, db_d)
+        g = ghits(m.store.alpha, sc, m.store, m.grid, factors, oh, dh,
+                  th, wd)
         jax.block_until_ready(g)
         _drain(g)
         t0 = time.time()
         for _ in range(args.reps):
-            g = gfun(m.store.alpha, sc, m.store, m.grid, factors,
-                     ob_d, db_d)
-        _drain(g)
-        bwd_s = round((time.time() - t0) / args.reps, 4)
-        bwd_rps = round(nb_rays / bwd_s, 1)
-        dscale = float(g[1])
-    except Exception as e:  # noqa: BLE001 — still report the forward rows
-        bwd_err = repr(e)[:300]
-        print(f"# backward failed: {bwd_err}", file=sys.stderr, flush=True)
+            # forward march (rep) + correction backward of the hit set =
+            # the full fwd+bwd pipeline cost per image
+            o2 = render.sphere_trace(m.store, m.grid, o_d, d_d, cfg,
+                                     factors)
+            g = ghits(m.store.alpha, sc, m.store, m.grid, factors, oh,
+                      dh, th, wd)
+        _drain((o2, g))
+        hb_s = round((time.time() - t0) / args.reps, 4)
+        hb_rps = round(n_rays / hb_s, 1)
+        hb_dscale = float(g[1])
+    except Exception as e:  # noqa: BLE001
+        hb_err = repr(e)[:300]
+        print(f"# hit-compacted backward failed: {hb_err}",
+              file=sys.stderr, flush=True)
 
     out = {
         "metric": "render_rays_per_s_per_chip",
@@ -142,6 +199,11 @@ def main():
             "forward_backward_n_rays": nb_rays,
             "backward_error": bwd_err,
             "grad_wrt_scale": dscale,
+            "fwd_bwd_hitcompact_rays_per_s": hb_rps,
+            "fwd_bwd_hitcompact_s": hb_s,
+            "fwd_bwd_hitcompact_n_hits": n_hits,
+            "fwd_bwd_hitcompact_error": hb_err,
+            "fwd_bwd_hitcompact_grad_wrt_scale": hb_dscale,
             "n_frames": len(frames),
             "n_nodes": int(m.num_nodes),
         },
