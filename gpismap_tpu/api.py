@@ -46,6 +46,15 @@ class _MeshMixin:
     divides every sharded axis.
     """
 
+    def _pallas_bf16(self) -> bool:
+        """GPISMAP_PALLAS_BF16=1 runs the tile kernel's variance matmul
+        with bf16 multiplicands / f32 accumulation (the MXU's native
+        rate; f32 passes run at ~1/4 of it). OFF by default: relative
+        variance error ~1e-3, which can flip var>thre selections at the
+        exact threshold — parity-gated in tests/test_pallas.py."""
+        import os as _os
+        return _os.environ.get("GPISMAP_PALLAS_BF16") in ("1", "on")
+
     @property
     def wall_stats(self):
         """Host-side wall-clock accumulators (seconds) for the pipelined
@@ -815,6 +824,7 @@ class GPisMap2D(_MeshMixin):
                 self.store, self.grid, self._dev(xq, shard=True),
                 factors=self._get_factors(), use_pallas=up,
                 nbrs=self._nbrs, nbr_dense=self._nbr_dense,
+                pallas_bf16=up and self._pallas_bf16(),
                 **self._test_kwargs(),
                 **({} if self.mesh is None else {"mesh": self.mesh}))
 

@@ -423,6 +423,7 @@ class GPisMap3D(_MeshMixin):
                 self.store, self.grid, self._dev(xq, shard=True),
                 factors=self._get_factors(), use_pallas=up,
                 nbrs=self._nbrs, nbr_dense=self._nbr_dense,
+                pallas_bf16=up and self._pallas_bf16(),
                 **self._test_kwargs(),
                 **({} if self.mesh is None else {"mesh": self.mesh}))
 

@@ -567,7 +567,7 @@ def _eval_pairs(store: ClusterStore, linv_buf: jnp.ndarray,
                 q: jnp.ndarray, div: int, scale, val_const, grad_const,
                 tile: int, max_active: int, use_pallas: bool,
                 vma_axes: tuple, remat: bool = False,
-                flat_eval: bool = False):
+                flat_eval: bool = False, pallas_bf16: bool = False):
     """Plan + evaluate one pair set against the factor buffer.
 
     pair_comp: [P] compact cell id per pair (-1 skipped); pair p belongs
@@ -619,7 +619,8 @@ def _eval_pairs(store: ClusterStore, linv_buf: jnp.ndarray,
         f_t, g_t, vf_t, vg_t = tile_eval_pallas(
             plan.tile_seg, linv_buf, xt, store.alpha[slc],
             gf_c.astype(q.dtype), cvalid.astype(q.dtype), qt, d=d,
-            scale=scale, val_const=val_const, grad_const=grad_const)
+            scale=scale, val_const=val_const, grad_const=grad_const,
+            bf16=pallas_bf16)
         # scatter tile results back to pair order (dummy-row drop)
         mask = (plan.pair_ids >= 0) & (plan.tile_seg[:, None] >= 0)
         tgt = jnp.where(mask, plan.pair_ids, npair).reshape(-1)
@@ -655,7 +656,8 @@ def _eval_pairs(store: ClusterStore, linv_buf: jnp.ndarray,
     jax.jit,
     static_argnames=("grid_half", "noff", "tile", "max_cells",
                      "max_active", "use_pallas", "vma_axes", "nbr_dense",
-                     "two_phase", "remat", "flat_eval"))
+                     "two_phase", "remat", "flat_eval",
+                     "pallas_bf16"))
 def map_test(store: ClusterStore, grid: jnp.ndarray, q: jnp.ndarray,
              cell_size, grid_half: int, noff: int,
              search_half, scale, val_const,
@@ -664,7 +666,7 @@ def map_test(store: ClusterStore, grid: jnp.ndarray, q: jnp.ndarray,
              use_pallas: bool = False, factors=None,
              vma_axes: tuple = (), nbrs=None, nbr_dense: bool = False,
              two_phase: bool = True, remat: bool = False,
-             flat_eval: bool = False):
+             flat_eval: bool = False, pallas_bf16: bool = False):
     """Batched SDF+gradient+variance query.
 
     Parity: GPisMap.cpp:665-763 (2D; var_thre 0.4) and
@@ -754,7 +756,7 @@ def map_test(store: ClusterStore, grid: jnp.ndarray, q: jnp.ndarray,
         _eval_pairs, store, linv_buf, slot_of, q=q, scale=scale,
         val_const=val_const, grad_const=grad_const, tile=tile,
         max_active=max_active, use_pallas=use_pallas, vma_axes=vma_axes,
-        remat=remat, flat_eval=flat_eval)
+        remat=remat, flat_eval=flat_eval, pallas_bf16=pallas_bf16)
 
     if two_phase:
         # ---- phase 1: nearest-cell pairs only ----
@@ -853,14 +855,15 @@ def map_test(store: ClusterStore, grid: jnp.ndarray, q: jnp.ndarray,
     jax.jit,
     static_argnames=("grid_half", "noff", "tile", "max_cells",
                      "max_active", "use_pallas", "mesh", "nbr_dense",
-                     "two_phase"))
+                     "two_phase", "pallas_bf16"))
 def map_test_sharded(store: ClusterStore, grid: jnp.ndarray,
                      q: jnp.ndarray, cell_size, grid_half: int, noff: int,
                      search_half, scale, val_const, grad_const, var_thre,
                      default_var, tile: int, max_cells: int,
                      max_active: int = 512, use_pallas: bool = False,
                      factors=None, mesh=None, nbrs=None,
-                     nbr_dense: bool = False, two_phase: bool = True):
+                     nbr_dense: bool = False, two_phase: bool = True,
+                     pallas_bf16: bool = False):
     """map_test with the query batch sharded over a 1-axis mesh.
 
     shard_map (not sharding propagation) on purpose: each device plans and
@@ -886,7 +889,7 @@ def map_test_sharded(store: ClusterStore, grid: jnp.ndarray,
             scale_, val_const_, grad_const_, var_thre_, default_var_,
             tile, max_cells, max_active, use_pallas, factors_,
             vma_axes=(axis,), nbrs=nbrs_, nbr_dense=nbr_dense,
-            two_phase=two_phase)
+            two_phase=two_phase, pallas_bf16=pallas_bf16)
         return f, g, vf, vg, jax.lax.psum(info, axis)
 
     sc = jnp.float32

@@ -33,7 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 _SQRT3 = 1.7320508075688772
 
 
-def _make_kernel(d, n_panels):
+def _make_kernel(d, n_panels, bf16=False):
     def kernel(seg_ref, hyp_ref, linv_ref, xt_ref, alpha_ref, gf_ref,
                vl_ref, qt_ref, f_ref, g_ref, vf_ref, vg_ref, ks_ref):
         # hyperparameters live in SMEM (hyp = [scale, val_const,
@@ -92,9 +92,18 @@ def _make_kernel(d, n_panels):
 
         @pl.when(active)
         def _variance():
-            v = jnp.dot(linv_ref[0], ks_ref[:],
-                        preferred_element_type=jnp.float32)  # [PANEL, T(1+d)]
-            vs = jnp.sum(v * v, axis=0)
+            if bf16:
+                # bf16 multiplicands, f32 accumulation: the MXU's native
+                # rate (f32 passes run at ~1/4 of it). Relative variance
+                # error ~1e-3 — opt-in via GPISMAP_PALLAS_BF16, parity-
+                # gated (tests/test_pallas.py)
+                v = jnp.dot(linv_ref[0].astype(jnp.bfloat16),
+                            ks_ref[:].astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32)
+            else:
+                v = jnp.dot(linv_ref[0], ks_ref[:],
+                            preferred_element_type=jnp.float32)
+            vs = jnp.sum(v * v, axis=0)                   # [T(1+d)]
             vf_ref[0, 0, :] = vf_ref[0, 0, :] - vs[:t]
             for j in range(d):
                 vg_ref[0, j, :] = (vg_ref[0, j, :]
@@ -105,14 +114,15 @@ def _make_kernel(d, n_panels):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("d", "interpret", "panel_override"))
+    static_argnames=("d", "interpret", "panel_override", "bf16"))
 def tile_eval_pallas(tile_seg: jnp.ndarray, linv_buf: jnp.ndarray,
                      xt_cells: jnp.ndarray, alpha_cells: jnp.ndarray,
                      gradflag_cells: jnp.ndarray, valid_cells: jnp.ndarray,
                      qt_tiles: jnp.ndarray, d: int, scale,
                      val_const, grad_const,
                      interpret: bool = False,
-                     panel_override: int | None = None):
+                     panel_override: int | None = None,
+                     bf16: bool = False):
     """Evaluate all tiles; per-tile cell blocks selected by scalar-prefetch.
 
     tile_seg:   [NT] int32 compact cell index per tile; -1 = inactive tile
@@ -170,7 +180,7 @@ def tile_eval_pallas(tile_seg: jnp.ndarray, linv_buf: jnp.ndarray,
     )
 
     f, g, vf, vg = pl.pallas_call(
-        _make_kernel(d, n_panels),
+        _make_kernel(d, n_panels, bf16=bf16),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((nt, 1, t), jnp.float32),

@@ -64,6 +64,19 @@ def test_pallas_tile_matches_xla():
     assert float(jnp.max(
         jnp.abs(jnp.swapaxes(vg2t, -1, -2) - vg0)[act])) < 1e-4
 
+    # bf16 variance mode (GPISMAP_PALLAS_BF16): mean path untouched
+    # (exactly equal), variance within the documented ~1e-2 envelope
+    f3, g3t, vf3, vg3t = tile_eval_pallas(
+        segs, linv, jnp.swapaxes(store.x, -1, -2), store.alpha,
+        gf.astype(jnp.float32), store.valid.astype(jnp.float32),
+        jnp.swapaxes(q, -1, -2), d=D, scale=1.2, val_const=1.01,
+        grad_const=3 / 1.44 + 0.1, interpret=True, bf16=True)
+    assert float(jnp.max(jnp.abs(f3 - f1)[act])) == 0.0
+    assert float(jnp.max(jnp.abs(g3t - g1t)[act])) == 0.0
+    assert float(jnp.max(jnp.abs(vf3 - vf0)[act])) < 2e-2
+    assert float(jnp.max(
+        jnp.abs(jnp.swapaxes(vg3t, -1, -2) - vg0)[act])) < 5e-2
+
 
 def _tiny_mapper():
     from gpismap_tpu.api import GPisMap2D
