@@ -189,10 +189,9 @@ class _MeshMixin:
             self._mirror = jax.device_put(self._mirror, self._sh_rep)
 
     # -- dense cluster grid (shared by both mappers) -------------------
-    def _rebuild_grid(self) -> None:
-        """Dense cluster grid rebuilt ON DEVICE from the live-cell list
-        (cluster.build_grid_device): only the [C, D] cell list travels
-        per frame instead of the 262 KB (2D) / 8 MB (3D) dense map."""
+    def _grid_host_arrays(self):
+        """Padded (coords, slots) live-cell arrays for the device grid
+        build."""
         cells = self.index.all_cluster_cells(cap=self.cap.max_cells * 4)
         n = 0
         if len(cells):
@@ -206,6 +205,13 @@ class _MeshMixin:
             cc[:n] = np.floor(centers[live] / self.cell_size).astype(
                 np.int32)
             sl[:n] = slots[live]
+        return cc, sl
+
+    def _rebuild_grid(self) -> None:
+        """Dense cluster grid rebuilt ON DEVICE from the live-cell list
+        (cluster.build_grid_device): only the [C, D] cell list travels
+        per frame instead of the 262 KB (2D) / 8 MB (3D) dense map."""
+        cc, sl = self._grid_host_arrays()
         ccd, sld = self._dev_batch((cc, sl))
         self.grid = cluster.build_grid_device(ccd, sld, self.dim,
                                               self.grid_half)
@@ -260,16 +266,18 @@ class _MeshMixin:
             self._nbrs = jax.device_put(self._nbrs, self._sh_rep)
 
     def _refresh_buckets(self) -> tuple:
-        """Static refresh-size set: the retrain buckets rounded up to the
-        128-lane-aligned system sizes (None = full capacity). Kept small
-        and stable so the per-bucket update_factors programs compile
-        once."""
-        out = []
-        for b in self._retrain_buckets:
-            mb2 = cluster.refresh_bucket(b, self.cap.gp_support, self.dim)
-            if mb2 is not None and mb2 not in out:
-                out.append(mb2)
-        return tuple(sorted(out)) + (None,)
+        """Static refresh-size set: at most TWO groups — the largest
+        128-lane-aligned sub-capacity bucket, then full capacity. Two,
+        not one-per-retrain-bucket: each chained update_factors dispatch
+        holds a full [S, M', M'] buffer copy alive until the chain
+        completes (3D: 2.1 GB each — three chained copies OOMed the
+        chip), and the mid bucket already captures ~all the FLOP win
+        ((160/320)^3 = 1/8; shrinking 96-cell rows further saves little).
+        """
+        subs = [cluster.refresh_bucket(b, self.cap.gp_support, self.dim)
+                for b in self._retrain_buckets]
+        subs = sorted({s for s in subs if s is not None})
+        return ((subs[-1],) if subs else ()) + (None,)
 
     def _refresh_factors(self, retrained_slots: np.ndarray,
                          counts: np.ndarray | None = None) -> None:
@@ -337,26 +345,22 @@ def _retrain_store(m) -> None:
     """
     import time as _time
     wall = m.wall_stats
-    _t0 = _time.time()
-    mcap = m.cap.gp_support
-    m._sync_mirror()     # flush this frame's node mutations to device
     _t = _time.time()
-    wall["retrain.mirror_sync"] += _t - _t0
+    mcap = m.cap.gp_support
     rt = m.index.collect_retrain(m.p.gp_radius_times, mcap,
                                  m.cap.retrain_batch * 16)
     wall["retrain.collect_host"] += _time.time() - _t
     b = rt["n"]
-    _t = _time.time()
+    groups = []
+    chunk_cap = m.cap.retrain_batch
     if b:
         if rt["total"] > b:
             m.stats["retrain_truncated"] = rt["total"] - b
         counts = rt["counts"][:b]
-        chunk_cap = m.cap.retrain_batch
         # batch rows are padded to a pow2 >= the mesh size: a bucket with 5
         # touched cells fits at B=8, not the worst-case retrain_batch —
         # the Cholesky cost is linear in B (the dominant term of the 2D
         # device update budget, BASELINE.md device table)
-        lo = 8 if m.mesh is None else max(8, m.mesh.size)
         import jax as _jax
         if _jax.default_backend() == "tpu":
             # On TPU the fit is latency-bound, not FLOP-bound (a batched
@@ -367,7 +371,6 @@ def _retrain_store(m) -> None:
                         if bb >= counts.max()), m._retrain_buckets[-1])
             groups = [(mb1, np.arange(b))]
         else:
-            groups = []
             assigned = np.zeros(b, bool)
             for mb in m._retrain_buckets:
                 if mb >= mcap:
@@ -378,6 +381,43 @@ def _retrain_store(m) -> None:
                 rows = np.nonzero(selb)[0]
                 if len(rows):
                     groups.append((mb, rows))
+
+    # One-dispatch epilogue (mirror scatter + retrain + grid rebuild
+    # fused, cluster.frame_finish_from_mirror) whenever the frame fits
+    # one retrain chunk — each separate small program pays a ~1-2 ms
+    # per-dispatch floor (device_profile round 4) and its own upload.
+    fused = (b > 0 and m.mesh is None and m._use_mirror()
+             and m._mirror is not None and len(groups) == 1
+             and len(groups[0][1]) <= chunk_cap)
+    _t = _time.time()
+    if fused:
+        mb, rows = groups[0]
+        chunk = min(chunk_cap, _next_pow2(len(rows), lo=8))
+        sup = np.full((chunk, mb), -1, np.int32)
+        sup[:b] = rt["support"][:b, :mb]
+        slots = np.full(chunk, -1, np.int32)
+        slots[:b] = rt["slots"][:b]
+        ids = m.index.pop_dirty()
+        k = _next_pow2(max(len(ids), 1))
+        sel = np.full(k, -1, np.int32)
+        sel[:len(ids)] = ids
+        nd = m.index.get_nodes(sel)
+        cc, sl = m._grid_host_arrays()
+        wall["retrain.collect_host"] += _time.time() - _t
+        _t = _time.time()
+        args = m._dev_batch((sel, nd["pos"], nd["grad"], nd["val"],
+                             nd["pos_sig"], nd["grad_sig"],
+                             slots, slots >= 0, sup, cc, sl))
+        m.store, m._mirror, m.grid = cluster.frame_finish_from_mirror(
+            m.store, m._mirror, *args[:9], m.p.map_scale_param,
+            *args[9:], m.dim, m.grid_half)
+        m.index.clear_active()
+        wall["retrain.fit_dispatch"] += _time.time() - _t
+    else:
+        m._sync_mirror()     # flush this frame's node mutations to device
+        wall["retrain.mirror_sync"] += _time.time() - _t
+        _t = _time.time()
+        lo = 8 if m.mesh is None else max(8, m.mesh.size)
         for mb, rows in groups:
             chunk = min(chunk_cap, _next_pow2(len(rows), lo=lo))
             for s in range(0, len(rows), chunk):
@@ -408,11 +448,11 @@ def _retrain_store(m) -> None:
                     m._dev(nd["pos_sig"].reshape(shp), shard=True),
                     m._dev(nd["grad_sig"].reshape(shp), shard=True),
                     m._dev(vmask, shard=True), m.p.map_scale_param)
-    wall["retrain.fit_dispatch"] += _time.time() - _t
-    _t = _time.time()
-    m.index.clear_active()
-    m._rebuild_grid()
-    wall["retrain.grid_rebuild"] += _time.time() - _t
+        wall["retrain.fit_dispatch"] += _time.time() - _t
+        _t = _time.time()
+        m.index.clear_active()
+        m._rebuild_grid()
+        wall["retrain.grid_rebuild"] += _time.time() - _t
     _t = _time.time()
     m._nbrs = None       # candidate table rebuilt lazily at next test()
     m._refresh_factors(rt["slots"][:b] if b else np.zeros(0, np.int32),
@@ -649,7 +689,7 @@ class GPisMap2D(_MeshMixin):
             tr, rot, rmax, n_valid, obs, nm = item
             node_ids = self._inview_node_ids(tr, rot, rmax)
             n = len(node_ids)
-            rv = None
+            k = 0
             _t = _time.time()
             wall["inview_host"] += _t - _t0
             if n:
@@ -668,10 +708,17 @@ class GPisMap2D(_MeshMixin):
                 _t = _time.time()
                 wall["upload"] += _t - _t2
                 rv = mapper2d.reeval_2d(obs, *args, self.p, self.op)
+                flat = mapper2d.pack_frame_results(rv, nm)
                 _t2 = _time.time()
                 wall["reeval_dispatch"] += _t2 - _t
                 _t = _t2
-            rv, nm = jax.device_get((rv, nm))   # ONE blocking pull/frame
+            else:
+                flat = mapper2d.pack_nm_only(nm)
+            # ONE blocking pull/frame, ONE pytree leaf: the tunnel pays a
+            # round trip per leaf (wall_profile: 34 -> ~3 ms per frame)
+            nb = nm.insert_ok.shape[0]
+            rv, nm = mapper2d.unpack_frame_results(
+                jax.device_get(flat), k, nb)
             _t2 = _time.time()
             wall["blocking_pull"] += _t2 - _t
             if n:

@@ -218,12 +218,20 @@ class GPisMap3D(_MeshMixin):
             kept = self._cull_cells(rmax, tr, rot)
             disp = (self._dispatch_reeval_fused(obs, kept, tr, rot)
                     if len(kept) else None)
+            p_nm = nm.insert_ok.shape[0]
+            # ONE blocking pull per frame, ONE pytree leaf (the tunnel
+            # pays a round trip per leaf; mapper3d.pack_frame_results)
             if disp is not None:
                 node_ids, rv, drop = disp
-                rv, drop, nm = jax.device_get((rv, drop, nm))  # ONE pull
+                k_rv = rv.action.shape[0]
+                flat = jax.device_get(
+                    mapper3d.pack_frame_results(rv, drop, nm))
+                rv, drop, nm = mapper3d.unpack_frame_results(
+                    flat, k_rv, p_nm)
                 self._apply_reeval_fused(node_ids, rv, drop)
             else:
-                nm = jax.device_get(nm)                        # ONE pull
+                flat = jax.device_get(mapper3d.pack_nm_only(nm))
+                _, _, nm = mapper3d.unpack_frame_results(flat, 0, p_nm)
             self._apply_newmeas(nm)
             _t1 = _time.time()
             self._update_gps()

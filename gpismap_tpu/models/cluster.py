@@ -175,6 +175,30 @@ def retrain_cells_from_mirror(store: ClusterStore, mirror: NodeMirror,
                          mirror.grad_sig[c], valid, scale)
 
 
+@functools.partial(jax.jit, static_argnames=("dim", "grid_half"))
+def frame_finish_from_mirror(store: ClusterStore, mirror: NodeMirror,
+                             ids, pos, grad, val, pos_sig, grad_sig,
+                             slots, slot_ok, sup, scale,
+                             cell_coords, cell_slots, dim: int,
+                             grid_half: int):
+    """ONE-dispatch frame epilogue: mirror scatter + retrain-from-mirror
+    + device grid rebuild.
+
+    Identical semantics to the three separate dispatches (scatter_mirror
+    -> retrain_cells_from_mirror -> build_grid_device); fused because
+    each small program pays a per-dispatch floor of ~1-2 ms through the
+    tunnel (measured: scatter 1.7 ms + grid build 2.3 ms for microsecond
+    -scale work, tools/device_profile.py round 4), and the host pays one
+    upload batch instead of three. Returns (store, mirror, grid).
+    """
+    mirror = scatter_mirror(mirror, ids, pos, grad, val, pos_sig,
+                            grad_sig)
+    store = retrain_cells_from_mirror(store, mirror, slots, slot_ok, sup,
+                                      scale)
+    grid = build_grid_device(cell_coords, cell_slots, dim, grid_half)
+    return store, mirror, grid
+
+
 def clear_slots(store: ClusterStore, slots: jnp.ndarray,
                 slot_ok: jnp.ndarray) -> ClusterStore:
     """Mark slots untrained (cells pruned by the index)."""

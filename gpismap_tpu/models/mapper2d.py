@@ -292,3 +292,51 @@ def frame_update_2d(theta: jnp.ndarray, rng: jnp.ndarray, tr: jnp.ndarray,
                    tr, rot, mp, op, chunk)
     nm = newmeas_2d(obs, prep, rot, mp, op, chunk)
     return rv, nm
+
+
+@jax.jit
+def pack_frame_results(rv: Reeval2D, nm: NewMeas2D) -> jnp.ndarray:
+    """Flatten the per-frame host-pull payload into ONE f32 vector.
+
+    The tunneled backend pays a round trip PER PYTREE LEAF on
+    device_get (measured ~34 ms/frame for the 13-leaf (rv, nm) pull —
+    85 % of the warm update_batch wall, tools/wall_profile.py). One
+    packed array is one round trip; the host splits it back
+    (unpack_frame_results). All fields are exactly representable in
+    f32 (action in 0..3, bools as 0/1).
+    """
+    cols_rv = jnp.stack(
+        [rv.action.astype(jnp.float32),
+         rv.pos[:, 0], rv.pos[:, 1], rv.grad[:, 0], rv.grad[:, 1],
+         rv.noise, rv.grad_noise,
+         rv.dbl_pos_sig.astype(jnp.float32),
+         rv.dbl_grad_sig.astype(jnp.float32)], axis=1)       # [K, 9]
+    return jnp.concatenate([cols_rv.ravel(), pack_nm_only(nm)])
+
+
+@jax.jit
+def pack_nm_only(nm: NewMeas2D) -> jnp.ndarray:
+    """New-measurement half of pack_frame_results (frames with no
+    in-view nodes)."""
+    cols = jnp.stack(
+        [nm.insert_ok.astype(jnp.float32),
+         nm.pos[:, 0], nm.pos[:, 1], nm.grad[:, 0], nm.grad[:, 1],
+         nm.noise, nm.grad_noise], axis=1)                   # [N, 7]
+    return cols.ravel()
+
+
+def unpack_frame_results(flat, k: int, nb: int):
+    """Host-side split of pack_frame_results (numpy in, numpy out).
+    Returns (Reeval2D | None, NewMeas2D)."""
+    import numpy as np
+    rv = None
+    if k:
+        a = np.asarray(flat[:k * 9]).reshape(k, 9)
+        rv = Reeval2D(action=a[:, 0].astype(np.int32), pos=a[:, 1:3],
+                      grad=a[:, 3:5], noise=a[:, 5], grad_noise=a[:, 6],
+                      dbl_pos_sig=a[:, 7] > 0.5,
+                      dbl_grad_sig=a[:, 8] > 0.5)
+    b = np.asarray(flat[k * 9:]).reshape(nb, 7)
+    nm = NewMeas2D(insert_ok=b[:, 0] > 0.5, pos=b[:, 1:3],
+                   grad=b[:, 3:5], noise=b[:, 5], grad_noise=b[:, 6])
+    return rv, nm

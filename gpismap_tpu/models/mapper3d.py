@@ -653,3 +653,52 @@ def frame_compute_3d(depth: jnp.ndarray, tr: jnp.ndarray, rot: jnp.ndarray,
     obs = obsgp.fit_obsgp2d(prep.v, prep.u, prep.zinv, op)
     nm = newmeas_3d(obs, prep, rot, mp, op, chunk, cam=cam, blocked=blocked)
     return prep, obs, nm
+
+
+@jax.jit
+def pack_frame_results(rv: Reeval3D, drop, nm: NewMeas3D) -> jnp.ndarray:
+    """Flatten the per-frame host-pull payload into ONE f32 vector — the
+    tunneled backend pays a round trip per pytree leaf on device_get
+    (the 13-leaf (rv, drop, nm) pull costs ~13 RTTs; see the 2D twin
+    mapper2d.pack_frame_results and tools/wall_profile.py)."""
+    cols_rv = jnp.stack(
+        [rv.action.astype(jnp.float32),
+         rv.pos[:, 0], rv.pos[:, 1], rv.pos[:, 2],
+         rv.grad[:, 0], rv.grad[:, 1], rv.grad[:, 2],
+         rv.noise, rv.grad_noise,
+         rv.dbl_pos_sig.astype(jnp.float32),
+         rv.dbl_grad_sig.astype(jnp.float32)], axis=1)      # [K, 11]
+    return jnp.concatenate([cols_rv.ravel(),
+                            jnp.asarray(drop, jnp.float32).reshape(1),
+                            pack_nm_only(nm)])
+
+
+@jax.jit
+def pack_nm_only(nm: NewMeas3D) -> jnp.ndarray:
+    """New-measurement half of pack_frame_results."""
+    cols = jnp.stack(
+        [nm.insert_ok.astype(jnp.float32),
+         nm.pos[:, 0], nm.pos[:, 1], nm.pos[:, 2],
+         nm.grad[:, 0], nm.grad[:, 1], nm.grad[:, 2],
+         nm.noise, nm.grad_noise], axis=1)                  # [P, 9]
+    return cols.ravel()
+
+
+def unpack_frame_results(flat, k: int, p: int):
+    """Host-side split of pack_frame_results (numpy in, numpy out).
+    Returns (Reeval3D | None, drop int, NewMeas3D)."""
+    import numpy as np
+    rv, drop = None, 0
+    off = 0
+    if k:
+        a = np.asarray(flat[:k * 11]).reshape(k, 11)
+        rv = Reeval3D(action=a[:, 0].astype(np.int32), pos=a[:, 1:4],
+                      grad=a[:, 4:7], noise=a[:, 7], grad_noise=a[:, 8],
+                      dbl_pos_sig=a[:, 9] > 0.5,
+                      dbl_grad_sig=a[:, 10] > 0.5)
+        drop = int(flat[k * 11])
+        off = k * 11 + 1
+    b = np.asarray(flat[off:]).reshape(p, 9)
+    nm = NewMeas3D(insert_ok=b[:, 0] > 0.5, pos=b[:, 1:4], grad=b[:, 4:7],
+                   noise=b[:, 7], grad_noise=b[:, 8])
+    return rv, drop, nm

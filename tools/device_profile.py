@@ -75,8 +75,18 @@ class _Capture:
 
     def time(self, reps):
         """Amortized seconds per frame: each captured call re-timed, then
-        summed (a frame may issue several retrain buckets)."""
-        return sum(_timed(self.orig, a, k, reps) for a, k in self.calls)
+        summed (a frame may issue several retrain buckets). Captured
+        argument pytrees are released as they are timed — holding every
+        call's multi-GB factor buffers alive OOMs the 3D profile."""
+        total = 0.0
+        n = len(self.calls)
+        for i in range(n):
+            a, k = self.calls[i]
+            self.calls[i] = None
+            total += _timed(self.orig, a, k, reps)
+            del a, k
+        self.calls = [None] * n     # len() still reports call count
+        return total
 
 
 def run(mode, frame_i, reps):
@@ -114,7 +124,13 @@ def run(mode, frame_i, reps):
               file=sys.stderr, flush=True)
 
     caps = [_Capture(mod, name) for mod, name in stage_caps]
+    # the full update dispatch set: direct retrain (host-gathered
+    # support), mirror-path retrain (support gathered on device from
+    # NodeMirror — the default), mirror scatter, device grid rebuild
     caps.append(_Capture(cluster, "retrain_cells"))
+    caps.append(_Capture(cluster, "retrain_cells_from_mirror"))
+    caps.append(_Capture(cluster, "scatter_mirror"))
+    caps.append(_Capture(cluster, "build_grid_device"))
     t_wall0 = time.time()
     import contextlib
     with contextlib.ExitStack() as st:
@@ -124,7 +140,8 @@ def run(mode, frame_i, reps):
     wall_update = time.time() - t_wall0
 
     tcaps = [_Capture(cluster, "map_test"),
-             _Capture(cluster, "factorize_slots")]
+             _Capture(cluster, "factorize_slots"),
+             _Capture(cluster, "build_neighbor_table")]
     t_wall0 = time.time()
     with contextlib.ExitStack() as st:
         for c in tcaps:
@@ -154,10 +171,11 @@ def run(mode, frame_i, reps):
             steady[c.name] = {"calls": len(c.calls),
                               "device_ms": round(c.time(reps) * 1e3, 3)}
 
+    test_keys = ("map_test", "factorize_slots", "build_neighbor_table")
     upd_ms = sum(v["device_ms"] for k, v in stages.items()
-                 if k not in ("map_test", "factorize_slots"))
+                 if k not in test_keys)
     test_ms = sum(v["device_ms"] for k, v in stages.items()
-                  if k in ("map_test", "factorize_slots"))
+                  if k in test_keys)
     out = {
         "mode": mode,
         "frame": frame_i,

@@ -154,6 +154,26 @@ def run_dim(d, reps, peak_tf, hbm_gbps):
             "speedup_vs_xla": round(t_xla / t_pl, 2),
         }
 
+        # bf16-multiplicand variance matmul (GPISMAP_PALLAS_BF16): the
+        # MXU's native rate; f32 passes run at ~1/4 of it
+        pl16_jit = jax.jit(lambda segs_, linv_, xt_, al_, gf_, vl_, qt_:
+                           tile_eval_pallas(
+                               segs_, linv_, xt_, al_, gf_, vl_, qt_, d=d,
+                               scale=scale, val_const=vc, grad_const=gc,
+                               bf16=True))
+        t_pl16 = _bench(pl16_jit, reps, segs, linv, xt, store.alpha,
+                        gradflag.astype(jnp.float32),
+                        store.valid.astype(jnp.float32), qt)
+        results[f"tile_eval_pallas_bf16_{d}d"] = {
+            "tiles": nt, "MP": mp, "T": t,
+            "ms": round(t_pl16 * 1e3, 3),
+            "tflops": round(nt * flops_tile / t_pl16 / 1e12, 2),
+            "pct_peak": round(100 * nt * flops_tile / t_pl16 / 1e12
+                              / peak_tf, 1),
+            "queries_per_s_equiv": round(nt * t / 3 / t_pl16, 1),
+            "speedup_vs_f32_pallas": round(t_pl / t_pl16, 2),
+        }
+
     # ---- factorization (test-path cache fill) ----
     sf = 256 if d == 2 else 128
     xf, gf, valf, sigf, validf, stf, _ = _make_cells(rng, sf, m, d, scale)
