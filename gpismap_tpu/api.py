@@ -280,20 +280,21 @@ class _MeshMixin:
         return ((subs[-1],) if subs else ()) + (None,)
 
     def _refresh_factors(self, retrained_slots: np.ndarray,
-                         counts: np.ndarray | None = None) -> None:
+                         counts: np.ndarray | None = None,
+                         fit_ls=None) -> None:
         """Incremental factor-cache maintenance after a retrain.
 
         If the live slot set is unchanged since the cache was filled, only
-        the just-retrained cells re-factorize (cluster.update_factors) —
-        the retrain already computed their fresh Cholesky factors' inputs,
-        so the next test() skips the full factorize_slots refill. Any
-        slot-set change (insert into a new cell, prune) falls back to full
-        invalidation.
+        the just-retrained cells' factors refresh — so the next test()
+        skips the full factorize_slots refill. Any slot-set change
+        (insert into a new cell, prune) falls back to full invalidation.
 
-        counts: per-slot valid-support counts (rt["counts"]); cells are
-        grouped by refresh bucket so small cells re-factorize at small
-        sizes (equal to f32 rounding; cluster.update_factors) — one
-        oversized cell no longer forces every refresh to full M'."""
+        fit_ls: list of (padded slot rows, fit Cholesky factor handle)
+        from the retrain — the refresh then only inverts the factor the
+        fit already computed (cluster.update_factors_from_l, the
+        reference's keep-L architecture; ~3.5x cheaper than the rebuild).
+        Without it, cells re-factorize grouped by refresh bucket
+        (counts; cluster.update_factors)."""
         old, self._factors = self._factors, None
         if old is None or getattr(self, "_factors_slots", None) is None:
             self._factors_slots = None
@@ -307,25 +308,32 @@ class _MeshMixin:
             self._factors = old
             return
         linv_buf, uniq = old
-        buckets = self._refresh_buckets()
-        if counts is None:
-            groups = [(None, np.asarray(retrained_slots))]
+        if fit_ls:
+            for sl_np, l in fit_ls:
+                linv_buf = cluster.update_factors_from_l(
+                    linv_buf, uniq, self._dev(np.asarray(sl_np)), l,
+                    d=self.dim)
         else:
-            groups = []
-            assigned = np.zeros(len(retrained_slots), bool)
-            for mb2 in buckets:
-                sel = (~assigned if mb2 is None
-                       else (~assigned) & (counts <= mb2))
-                assigned |= sel
-                if sel.any():
-                    groups.append((mb2, np.asarray(retrained_slots)[sel]))
-        for mb2, sl_np in groups:
-            bpad = _next_pow2(len(sl_np), lo=8)
-            sl = np.full(bpad, -1, np.int32)
-            sl[:len(sl_np)] = sl_np
-            linv_buf = cluster.update_factors(
-                self.store, linv_buf, uniq, self._dev(sl),
-                self.p.map_scale_param, mb=mb2)
+            buckets = self._refresh_buckets()
+            if counts is None:
+                groups = [(None, np.asarray(retrained_slots))]
+            else:
+                groups = []
+                assigned = np.zeros(len(retrained_slots), bool)
+                for mb2 in buckets:
+                    sel = (~assigned if mb2 is None
+                           else (~assigned) & (counts <= mb2))
+                    assigned |= sel
+                    if sel.any():
+                        groups.append(
+                            (mb2, np.asarray(retrained_slots)[sel]))
+            for mb2, sl_np in groups:
+                bpad = _next_pow2(len(sl_np), lo=8)
+                sl = np.full(bpad, -1, np.int32)
+                sl[:len(sl_np)] = sl_np
+                linv_buf = cluster.update_factors(
+                    self.store, linv_buf, uniq, self._dev(sl),
+                    self.p.map_scale_param, mb=mb2)
         self._factors = (linv_buf, uniq)
         if self.mesh is not None:
             self._factors = jax.device_put(self._factors, self._sh_rep)
@@ -389,6 +397,7 @@ def _retrain_store(m) -> None:
     fused = (b > 0 and m.mesh is None and m._use_mirror()
              and m._mirror is not None and len(groups) == 1
              and len(groups[0][1]) <= chunk_cap)
+    fit_ls = []          # (padded slot rows, fit Cholesky factor) pairs
     _t = _time.time()
     if fused:
         mb, rows = groups[0]
@@ -408,9 +417,11 @@ def _retrain_store(m) -> None:
         args = m._dev_batch((sel, nd["pos"], nd["grad"], nd["val"],
                              nd["pos_sig"], nd["grad_sig"],
                              slots, slots >= 0, sup, cc, sl))
-        m.store, m._mirror, m.grid = cluster.frame_finish_from_mirror(
-            m.store, m._mirror, *args[:9], m.p.map_scale_param,
-            *args[9:], m.dim, m.grid_half)
+        m.store, m._mirror, m.grid, fit_l = \
+            cluster.frame_finish_from_mirror(
+                m.store, m._mirror, *args[:9], m.p.map_scale_param,
+                *args[9:], m.dim, m.grid_half)
+        fit_ls.append((slots, fit_l))
         m.index.clear_active()
         wall["retrain.fit_dispatch"] += _time.time() - _t
     else:
@@ -433,9 +444,16 @@ def _retrain_store(m) -> None:
                     sl_d, ok_d, sup_d = m._dev_batch(
                         (slots, slots >= 0, sup),
                         (False, False, True))
-                    m.store = cluster.retrain_cells_from_mirror(
-                        m.store, m._mirror, sl_d, ok_d, sup_d,
-                        m.p.map_scale_param)
+                    if m.mesh is None:
+                        m.store, fit_l = \
+                            cluster.retrain_cells_from_mirror_with_l(
+                                m.store, m._mirror, sl_d, ok_d, sup_d,
+                                m.p.map_scale_param)
+                        fit_ls.append((slots, fit_l))
+                    else:
+                        m.store = cluster.retrain_cells_from_mirror(
+                            m.store, m._mirror, sl_d, ok_d, sup_d,
+                            m.p.map_scale_param)
                     continue
                 vmask = sup >= 0
                 nd = m.index.get_nodes(sup.reshape(-1))
@@ -456,7 +474,8 @@ def _retrain_store(m) -> None:
     _t = _time.time()
     m._nbrs = None       # candidate table rebuilt lazily at next test()
     m._refresh_factors(rt["slots"][:b] if b else np.zeros(0, np.int32),
-                       counts=rt["counts"][:b] if b else None)
+                       counts=rt["counts"][:b] if b else None,
+                       fit_ls=fit_ls or None)
     m._replicate_state()
     wall["retrain.factor_refresh"] += _time.time() - _t
 
@@ -843,17 +862,11 @@ class GPisMap2D(_MeshMixin):
             tile=self.cap.test_tile, max_cells=self.cap.max_cells,
             max_active=self.cap.test_active_cells)
 
-    def test(self, x: np.ndarray) -> np.ndarray:
-        """Batched SDF query (reference: GPisMap::test, GPisMap.cpp:765-810).
-
-        x: [N, 2] world points. Returns [N, 6]:
-        [f, gx, gy, var_f, var_gx, var_gy] with the unmapped sentinel
-        var_f = 1 + map_noise (GPisMap.cpp:685).
-
-        With a mesh, the query batch is sharded over the devices (the
-        SPMD equivalent of the reference's test_kernel thread chunking,
-        GPisMap.cpp:765-810).
-        """
+    def _test_dispatch(self, x: np.ndarray):
+        """Dispatch-only half of test(): pad, (re)build caches, enqueue
+        the query program. Returns ((f, g, vf, vg, info) device handles,
+        nq). Lets callers pipeline several query batches before pulling
+        any results (bench.py streamed throughput)."""
         x = np.asarray(x, np.float32).reshape(-1, self.dim)
         nq = x.shape[0]
         qp = _next_pow2(nq)
@@ -876,13 +889,26 @@ class GPisMap2D(_MeshMixin):
                 **({} if self.mesh is None else {"mesh": self.mesh}))
 
         try:
-            f, g, vf, vg, info = _run(self._use_pallas())
+            return _run(self._use_pallas()), nq
         except _pallas_error_types() as e:
             if not self._use_pallas():
                 raise
             self._pallas_ok = False      # sticky XLA fallback
             self.stats["pallas_error"] = repr(e)
-            f, g, vf, vg, info = _run(False)
+            return _run(False), nq
+
+    def test(self, x: np.ndarray) -> np.ndarray:
+        """Batched SDF query (reference: GPisMap::test, GPisMap.cpp:765-810).
+
+        x: [N, 2] world points. Returns [N, 6]:
+        [f, gx, gy, var_f, var_gx, var_gy] with the unmapped sentinel
+        var_f = 1 + map_noise (GPisMap.cpp:685).
+
+        With a mesh, the query batch is sharded over the devices (the
+        SPMD equivalent of the reference's test_kernel thread chunking,
+        GPisMap.cpp:765-810).
+        """
+        (f, g, vf, vg, info), nq = self._test_dispatch(x)
         # ONE batched host pull (separate np.asarray calls would pay the
         # tunnel round trip each); the candidate-table overflow counter
         # rides along so table-path drops are never silent (config.py

@@ -54,11 +54,10 @@ def make_store(cap: CapacityParam, dim: int) -> ClusterStore:
     )
 
 
-@jax.jit
-def retrain_cells(store: ClusterStore, slots: jnp.ndarray,
+def _retrain_impl(store: ClusterStore, slots: jnp.ndarray,
                   slot_ok: jnp.ndarray, x: jnp.ndarray, grad: jnp.ndarray,
                   val: jnp.ndarray, sigx: jnp.ndarray, siggrad: jnp.ndarray,
-                  valid: jnp.ndarray, scale) -> ClusterStore:
+                  valid: jnp.ndarray, scale):
     """Fit a batch of cluster GPs and scatter them into their slots.
 
     `scale` is a traced scalar (hyperparameter gradients flow through the
@@ -105,7 +104,7 @@ def retrain_cells(store: ClusterStore, slots: jnp.ndarray,
                                               old.dtype)])
         return ext.at[tgt].set(new, mode='drop')[:-1]
 
-    return ClusterStore(
+    new_store = ClusterStore(
         x=scat(store.x, x),
         grad=scat(store.grad, grad),
         val=scat(store.val, val),
@@ -115,6 +114,18 @@ def retrain_cells(store: ClusterStore, slots: jnp.ndarray,
         alpha=scat(store.alpha, st.alpha),
         trained=scat(store.trained, jnp.any(valid, -1)),
     )
+    return new_store, st.l
+
+
+@jax.jit
+def retrain_cells(store: ClusterStore, slots: jnp.ndarray,
+                  slot_ok: jnp.ndarray, x: jnp.ndarray, grad: jnp.ndarray,
+                  val: jnp.ndarray, sigx: jnp.ndarray, siggrad: jnp.ndarray,
+                  valid: jnp.ndarray, scale) -> ClusterStore:
+    """_retrain_impl without the Cholesky factor (callers that do not
+    maintain the factor cache)."""
+    return _retrain_impl(store, slots, slot_ok, x, grad, val, sigx,
+                         siggrad, valid, scale)[0]
 
 
 class NodeMirror(NamedTuple):
@@ -175,6 +186,23 @@ def retrain_cells_from_mirror(store: ClusterStore, mirror: NodeMirror,
                          mirror.grad_sig[c], valid, scale)
 
 
+@jax.jit
+def retrain_cells_from_mirror_with_l(store: ClusterStore,
+                                     mirror: NodeMirror,
+                                     slots: jnp.ndarray,
+                                     slot_ok: jnp.ndarray,
+                                     sup: jnp.ndarray, scale):
+    """retrain_cells_from_mirror that ALSO returns the fit Cholesky
+    factor l [B, (1+d)*mb, (1+d)*mb] — the factor-cache refresh reuses
+    it (update_factors_from_l) instead of re-building K and
+    re-factorizing (the reference keeps each fit's L, OnGPIS.h)."""
+    c = jnp.clip(sup, 0, mirror.val.shape[0] - 1)
+    valid = sup >= 0
+    return _retrain_impl(store, slots, slot_ok, mirror.pos[c],
+                         mirror.grad[c], mirror.val[c], mirror.pos_sig[c],
+                         mirror.grad_sig[c], valid, scale)
+
+
 @functools.partial(jax.jit, static_argnames=("dim", "grid_half"))
 def frame_finish_from_mirror(store: ClusterStore, mirror: NodeMirror,
                              ids, pos, grad, val, pos_sig, grad_sig,
@@ -193,10 +221,10 @@ def frame_finish_from_mirror(store: ClusterStore, mirror: NodeMirror,
     """
     mirror = scatter_mirror(mirror, ids, pos, grad, val, pos_sig,
                             grad_sig)
-    store = retrain_cells_from_mirror(store, mirror, slots, slot_ok, sup,
-                                      scale)
+    store, l = retrain_cells_from_mirror_with_l(store, mirror, slots,
+                                                slot_ok, sup, scale)
     grid = build_grid_device(cell_coords, cell_slots, dim, grid_half)
-    return store, mirror, grid
+    return store, mirror, grid, l
 
 
 def clear_slots(store: ClusterStore, slots: jnp.ndarray,
@@ -562,10 +590,57 @@ def update_factors(store: ClusterStore, linv_buf: jnp.ndarray,
     else:
         new_linv = _factorize_cells(store, keep, scale,
                                     chunk=min(128, slots.shape[0]))
+    # out-of-range targets (misses) drop directly — no extended-row copy
+    # of the multi-GB buffer (mode='drop' discards OOB updates)
     tgt = jnp.where(hit, pos, max_active)
-    ext = jnp.concatenate(
-        [linv_buf, jnp.zeros((1,) + linv_buf.shape[1:], linv_buf.dtype)])
-    return ext.at[tgt].set(new_linv, mode='drop')[:-1]
+    return linv_buf.at[tgt].set(new_linv, mode='drop')
+
+
+def _embed_linv(linv_s: jnp.ndarray, mp: int, d: int) -> jnp.ndarray:
+    """Scatter a small-system L^-1 [B, (1+d)mb, (1+d)mb] into the
+    identity-padded full layout [B, mp, mp] (see
+    _factorize_cells_bucketed for why this is exact)."""
+    mp_s = linv_s.shape[-1]
+    if mp_s == mp:
+        return linv_s
+    m = mp // (1 + d)
+    mb = mp_s // (1 + d)
+    idx = jnp.concatenate(
+        [b * m + jnp.arange(mb, dtype=jnp.int32) for b in range(1 + d)])
+    full = jnp.broadcast_to(jnp.eye(mp, dtype=linv_s.dtype),
+                            (linv_s.shape[0], mp, mp))
+    return full.at[:, idx[:, None], idx[None, :]].set(linv_s)
+
+
+@functools.partial(jax.jit, static_argnames=("d",))
+def update_factors_from_l(linv_buf: jnp.ndarray, uniq: jnp.ndarray,
+                          slots: jnp.ndarray, l: jnp.ndarray,
+                          d: int) -> jnp.ndarray:
+    """Factor-cache refresh from the retrain fit's OWN Cholesky factor.
+
+    The fit already factorized each refreshed cell's train covariance
+    (fit_ongpis returns l; retrain_cells_from_mirror_with_l /
+    frame_finish_from_mirror surface it) — exactly the reference's
+    architecture, which keeps each fit's `L` alive (OnGPIS.h). Only the
+    triangular inverse remains here: measured 9.3 ms at [64, 1280,
+    1280] vs ~33 ms for the full rebuild update_factors pays (K build
+    8.2 + Cholesky 15.8 + inverse, tools probe round 4).
+
+    slots: [B] aligned row-for-row with l; slots missing from uniq are
+    dropped. l may be at a support bucket (system size (1+d)*mb) — the
+    inverse computes at the small size and embeds (exact; see
+    _factorize_cells_bucketed).
+    """
+    from ..ops.gp import linv_from_chol
+
+    big = jnp.iinfo(jnp.int32).max
+    max_active = linv_buf.shape[0]
+    sl = jnp.where(slots >= 0, slots, big).astype(jnp.int32)
+    pos = jnp.clip(jnp.searchsorted(uniq, sl), 0, max_active - 1)
+    hit = (sl < big) & (uniq[pos] == sl)
+    linv_full = _embed_linv(linv_from_chol(l), linv_buf.shape[-1], d)
+    tgt = jnp.where(hit, pos, max_active)
+    return linv_buf.at[tgt].set(linv_full, mode='drop')
 
 
 class TestInfo(NamedTuple):

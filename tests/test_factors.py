@@ -118,6 +118,47 @@ def test_bucketed_factorize_matches_full():
                                rtol=0, atol=2e-5)
 
 
+def test_update_factors_from_l_matches_rebuild():
+    """Refreshing the factor cache from the retrain fit's own Cholesky
+    factor (cluster.update_factors_from_l — the reference's keep-L
+    architecture) must equal the from-scratch rebuild."""
+    import dataclasses
+
+    from gpismap_tpu.config import CAPACITY_2D
+    from gpismap_tpu.models import cluster
+
+    rng = np.random.default_rng(11)
+    cap = dataclasses.replace(CAPACITY_2D, gp_support=64, max_cells=8)
+    d, b, mb, nvalid, scale = 3, 4, 32, 20, 0.8
+    store = cluster.make_store(cap, d)
+    x = rng.normal(size=(b, mb, d)).astype(np.float32)
+    g = rng.normal(size=(b, mb, d)).astype(np.float32)
+    g /= np.linalg.norm(g, axis=-1, keepdims=True)
+    valid = np.zeros((b, mb), bool)
+    valid[:, :nvalid] = True
+    store, l = cluster._retrain_impl(
+        store, jnp.arange(b, dtype=jnp.int32), jnp.ones(b, bool),
+        jnp.asarray(x), jnp.asarray(g),
+        jnp.asarray(rng.normal(size=(b, mb)).astype(np.float32) * 0.1),
+        jnp.full((b, mb), 0.02, jnp.float32),
+        jnp.full((b, mb), 0.02, jnp.float32), jnp.asarray(valid), scale)
+
+    slots = jnp.asarray([0, 1, 2, 3], jnp.int32)
+    uniq = jnp.concatenate([slots, jnp.full(
+        (cap.test_active_cells - b,), np.iinfo(np.int32).max, jnp.int32)])
+    mp = store.alpha.shape[-1]
+    linv0 = jnp.zeros((cap.test_active_cells, mp, mp), jnp.float32)
+    up_full = cluster.update_factors(store, linv0, uniq, slots, scale)
+    up_l = cluster.update_factors_from_l(linv0, uniq, slots, l, d=d)
+    np.testing.assert_allclose(np.asarray(up_full), np.asarray(up_l),
+                               rtol=0, atol=2e-5)
+    # rows whose slot misses uniq are dropped, not scattered
+    up_miss = cluster.update_factors_from_l(
+        linv0, uniq, jnp.asarray([0, 7, -1, 3], jnp.int32), l, d=d)
+    np.testing.assert_array_equal(np.asarray(up_miss[1]),
+                                  np.zeros((mp, mp), np.float32))
+
+
 def test_update_batch_matches_per_frame():
     """The pipelined update_batch is semantically the per-frame update()
     loop: identical node sets and query fields after the same frames."""

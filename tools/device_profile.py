@@ -129,6 +129,8 @@ def run(mode, frame_i, reps):
     # NodeMirror — the default), mirror scatter, device grid rebuild
     caps.append(_Capture(cluster, "retrain_cells"))
     caps.append(_Capture(cluster, "retrain_cells_from_mirror"))
+    caps.append(_Capture(cluster, "retrain_cells_from_mirror_with_l"))
+    caps.append(_Capture(cluster, "frame_finish_from_mirror"))
     caps.append(_Capture(cluster, "scatter_mirror"))
     caps.append(_Capture(cluster, "build_grid_device"))
     t_wall0 = time.time()
@@ -152,6 +154,7 @@ def run(mode, frame_i, reps):
     # steady-state online frame: update with the factor cache warm (the
     # incremental update_factors path) then a cache-hit test
     scaps = [_Capture(cluster, "update_factors"),
+             _Capture(cluster, "update_factors_from_l"),
              _Capture(cluster, "map_test")]
     if frame_i + 1 < len(frames):
         with contextlib.ExitStack() as st:
