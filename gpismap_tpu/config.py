@@ -197,7 +197,11 @@ class CapacityParam:
 
 
 CAPACITY_2D = CapacityParam()
-CAPACITY_3D = CapacityParam(gp_support=320, retrain_batch=32, max_cells=4096,
+# retrain_batch 64 (round 4; was 32): the batched fit is latency-bound,
+# so one 64-cell dispatch beats two 32-cell ones, and typical frames
+# then fit ONE chunk — unlocking the fused frame epilogue + single
+# factor-refresh dispatch (BASELINE.md round-4 3D table).
+CAPACITY_3D = CapacityParam(gp_support=320, retrain_batch=64, max_cells=4096,
                             max_nodes=131072, test_tile=128,
                             test_active_cells=320, max_beams=512,
                             nbr_k=64)

@@ -64,8 +64,15 @@ class _Capture:
         self.calls = []
 
     def __enter__(self):
+        import jax
+
         def wrapper(*a, **k):
-            self.calls.append((a, k))
+            # don't record calls made while TRACING an outer captured
+            # program (e.g. frame_finish_from_mirror inlines
+            # scatter_mirror): the args are tracers, not arrays
+            if not any(isinstance(x, jax.core.Tracer)
+                       for x in jax.tree.leaves((a, k))):
+                self.calls.append((a, k))
             return self.orig(*a, **k)
         setattr(self.mod, self.name, wrapper)
         return self
