@@ -627,7 +627,13 @@ class GPisMap2D(_MeshMixin):
                 self._dev(d["grad_sig"], shard=True),
                 self._dev(nvalid, shard=True), self.p,
                 self.op, g_max=g_max)
-            rv, nm = jax.device_get((rv, nm))   # ONE host pull
+            # ONE host pull, ONE leaf (per-leaf tunnel RTT; see
+            # pack_frame_results)
+            kk = rv.action.shape[0]
+            nb_nm = nm.insert_ok.shape[0]
+            rv, nm = mapper2d.unpack_frame_results(
+                jax.device_get(mapper2d.pack_frame_results(rv, nm)),
+                kk, nb_nm)
             n = len(node_ids)
             if n:
                 self.index.apply_reeval(

@@ -350,7 +350,16 @@ class GPisMap3D(_MeshMixin):
         if disp is None:
             return
         node_ids, rv, drop = disp
-        rv, drop = jax.device_get((rv, drop))    # ONE host pull
+        # ONE host pull, ONE leaf (per-leaf tunnel RTT; reuse the packed
+        # layout with an empty new-measurement block)
+        k_rv = rv.action.shape[0]
+        empty_nm = mapper3d.NewMeas3D(
+            insert_ok=jnp.zeros((1,), bool), pos=jnp.zeros((1, 3)),
+            grad=jnp.zeros((1, 3)), noise=jnp.zeros((1,)),
+            grad_noise=jnp.zeros((1,)))
+        flat = jax.device_get(
+            mapper3d.pack_frame_results(rv, drop, empty_nm))
+        rv, drop, _ = mapper3d.unpack_frame_results(flat, k_rv, 1)
         self._apply_reeval_fused(node_ids, rv, drop)
 
     def _reeval_apply(self, obs, node_ids, tr, rot):
