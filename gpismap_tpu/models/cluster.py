@@ -764,7 +764,7 @@ def map_test(store: ClusterStore, grid: jnp.ndarray, q: jnp.ndarray,
              tile: int, max_cells: int, max_active: int = 512,
              use_pallas: bool = False, factors=None,
              vma_axes: tuple = (), nbrs=None, nbr_dense: bool = False,
-             two_phase: bool = True, remat: bool = False,
+             two_phase: bool = False, remat: bool = False,
              flat_eval: bool = False, pallas_bf16: bool = False):
     """Batched SDF+gradient+variance query.
 
@@ -774,13 +774,19 @@ def map_test(store: ClusterStore, grid: jnp.ndarray, q: jnp.ndarray,
     GP, fall back to the up-to-3 nearest with variance-weighted blending of
     the best two when the nearest is uncertain.
 
-    two_phase=True (default) evaluates exactly like the reference's
-    control flow: rank-0 pairs first, then ONLY the uncertain queries'
-    rank-1/2 pairs (`if (var > obs_var_thre)` gate, GPisMap.cpp:706-722).
-    The single-phase path (two_phase=False) evaluates all 3 ranks
-    unconditionally and is kept as the equivalence oracle — outputs are
-    identical because the selection below never reads rank-1/2 results
-    of confident queries.
+    two_phase=True evaluates like the reference's control flow: rank-0
+    pairs first, then ONLY the uncertain queries' rank-1/2 pairs (the
+    `var > thre` gate, GPisMap.cpp:706-722); outputs are bit-identical
+    to the single-phase path because the selection below never reads
+    rank-1/2 results of confident queries. Measured round 4 (TPU v5e,
+    bench shapes): once the byproducts of the two-phase work landed
+    (dense-LUT pair compaction, packed-key tile sort, compare-select
+    blend), the evaluation itself got so cheap (~4 ms Pallas for ALL
+    3Q pairs) that the second plan's fixed cost exceeds the skipped
+    work — single-phase 26.6 vs 30.8 ms (2D), 16.9 vs 20.3 (3D) — so
+    single-phase is the DEFAULT and two_phase stays as the
+    equivalence-tested alternative (it would win again if evaluation
+    cost ever dominates planning, e.g. much larger support sizes).
 
     max_active bounds the number of DISTINCT cluster cells one query batch
     may touch (each is Cholesky-factorized once into a transient buffer);
@@ -895,18 +901,38 @@ def map_test(store: ClusterStore, grid: jnp.ndarray, q: jnp.ndarray,
     defvf = jnp.full((nq,), default_var, q.dtype)
     defvg = jnp.zeros((nq, d), q.dtype)
 
-    # sort the up-to-3 results by variance (GPisMap.cpp:730-733)
-    ordv = jnp.argsort(vf3, axis=-1)
-    fb = jnp.take_along_axis(f3, ordv, -1)
-    vb = jnp.take_along_axis(vf3, ordv, -1)
-    gb = jnp.take_along_axis(g3, ordv[..., None], -2)
-    vgb = jnp.take_along_axis(vg3, ordv[..., None], -2)
+    # two smallest variances of the up-to-3 results (GPisMap.cpp:730-733
+    # sorts; only the best two feed the blend). Explicit stable
+    # compare-selects instead of argsort + take_along_axis: a 3-wide-axis
+    # argsort lowers to a general sort plus four gathers (~8 ms of the
+    # 65k-query 2D bench batch); these wheres fuse into the surrounding
+    # elementwise code. Strict < keeps argsort's stable tie order.
+    def pick(c, a, b):
+        return jnp.where(c[:, None] if a.ndim == 2 else c, a, b)
+
+    v0, v1, v2 = vf3[:, 0], vf3[:, 1], vf3[:, 2]
+    b01 = v1 < v0
+    lo_v, hi_v = pick(b01, v1, v0), pick(b01, v0, v1)
+    c_best = v2 < lo_v            # rank-2 wins outright
+    c_sec = v2 < hi_v             # rank-2 is (at least) second
+    vb0 = pick(c_best, v2, lo_v)
+    vb1 = pick(c_best, lo_v, pick(c_sec, v2, hi_v))
+
+    def best2(x3):
+        x0, x1, x2 = x3[:, 0], x3[:, 1], x3[:, 2]
+        lo, hi = pick(b01, x1, x0), pick(b01, x0, x1)
+        return (pick(c_best, x2, lo),
+                pick(c_best, lo, pick(c_sec, x2, hi)))
+
+    fb0, fb1 = best2(f3)
+    gb0, gb1 = best2(g3)
+    vgb0, vgb1 = best2(vg3)
 
     # best < thr -> best; else variance-weighted blend of the two best with
     # w1 = var_best - thr, w2 = var_second - thr (GPisMap.cpp:735-756)
-    best_lt = vb[:, 0] < var_thre
-    w1 = vb[:, 0] - var_thre
-    w2 = jnp.where(jnp.isfinite(vb[:, 1]), vb[:, 1], vb[:, 0]) - var_thre
+    best_lt = vb0 < var_thre
+    w1 = vb0 - var_thre
+    w2 = jnp.where(jnp.isfinite(vb1), vb1, vb0) - var_thre
     w12 = jnp.where(jnp.abs(w1 + w2) > 0, w1 + w2, 1.0)
 
     def mix(a_best, a_second):
@@ -914,17 +940,16 @@ def map_test(store: ClusterStore, grid: jnp.ndarray, q: jnp.ndarray,
         return ((w2.reshape(sh) * a_best + w1.reshape(sh) * a_second)
                 / w12.reshape(sh))
 
-    second = jnp.where(jnp.isfinite(vb[:, 1])[:, None],
-                       jnp.stack([fb[:, 1], vb[:, 1]], -1),
-                       jnp.stack([fb[:, 0], vb[:, 0]], -1))
-    f2nd, v2nd = second[:, 0], second[:, 1]
-    g2nd = jnp.where(jnp.isfinite(vb[:, 1])[:, None], gb[:, 1], gb[:, 0])
-    vg2nd = jnp.where(jnp.isfinite(vb[:, 1])[:, None], vgb[:, 1], vgb[:, 0])
+    fin1 = jnp.isfinite(vb1)
+    f2nd = jnp.where(fin1, fb1, fb0)
+    v2nd = jnp.where(fin1, vb1, vb0)
+    g2nd = jnp.where(fin1[:, None], gb1, gb0)
+    vg2nd = jnp.where(fin1[:, None], vgb1, vgb0)
 
-    f_mix = jnp.where(best_lt, fb[:, 0], mix(fb[:, 0], f2nd))
-    vf_mix = jnp.where(best_lt, vb[:, 0], mix(vb[:, 0], v2nd))
-    g_mix = jnp.where(best_lt[:, None], gb[:, 0], mix(gb[:, 0], g2nd))
-    vg_mix = jnp.where(best_lt[:, None], vgb[:, 0], mix(vgb[:, 0], vg2nd))
+    f_mix = jnp.where(best_lt, fb0, mix(fb0, f2nd))
+    vf_mix = jnp.where(best_lt, vb0, mix(vb0, v2nd))
+    g_mix = jnp.where(best_lt[:, None], gb0, mix(gb0, g2nd))
+    vg_mix = jnp.where(best_lt[:, None], vgb0, mix(vgb0, vg2nd))
 
     # single candidate -> nearest result regardless of variance
     # (GPisMap.cpp:686-692); >= 2 -> nearest if confident, else blend path
@@ -961,7 +986,7 @@ def map_test_sharded(store: ClusterStore, grid: jnp.ndarray,
                      default_var, tile: int, max_cells: int,
                      max_active: int = 512, use_pallas: bool = False,
                      factors=None, mesh=None, nbrs=None,
-                     nbr_dense: bool = False, two_phase: bool = True,
+                     nbr_dense: bool = False, two_phase: bool = False,
                      pallas_bf16: bool = False):
     """map_test with the query batch sharded over a 1-axis mesh.
 

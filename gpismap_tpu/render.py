@@ -47,7 +47,7 @@ class RenderConfig(NamedTuple):
     t_max: float = 10.0
     step_scale: float = 0.9
     use_pallas: bool = False
-    two_phase: bool = True
+    two_phase: bool = False
     remat: bool = False
     flat_eval: bool = False
 

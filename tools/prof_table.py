@@ -308,6 +308,38 @@ def main():
 
     t, _ = _timed(full, args.reps, q)
     res["map_test_full_ms"] = round(t * 1e3, 2)
+
+    # --- end-to-end variants (cost attribution by differencing) -------
+    # var_thre is TRACED: +inf empties phase 2 without a recompile, so
+    # full - novar = the marginal cost of the uncertain-query phase
+    kw_nv = dict(kw, var_thre=np.float32(1e9))
+
+    def full_novar(q_):
+        return cluster.map_test(store, grid, q_, factors=(linv_buf, uniq),
+                                nbrs=nbrs, nbr_dense=nbr_dense,
+                                use_pallas=use_pallas, **kw_nv)
+
+    t, _ = _timed(full_novar, args.reps, q)
+    res["map_test_phase2_empty_ms"] = round(t * 1e3, 2)
+
+    def full_single(q_):
+        return cluster.map_test(store, grid, q_, factors=(linv_buf, uniq),
+                                nbrs=nbrs, nbr_dense=nbr_dense,
+                                use_pallas=use_pallas, two_phase=False,
+                                **kw)
+
+    t, _ = _timed(full_single, args.reps, q)
+    res["map_test_singlephase_ms"] = round(t * 1e3, 2)
+
+    kw256 = dict(kw, tile=256)
+
+    def full_t256(q_):
+        return cluster.map_test(store, grid, q_, factors=(linv_buf, uniq),
+                                nbrs=nbrs, nbr_dense=nbr_dense,
+                                use_pallas=use_pallas, **kw256)
+
+    t, _ = _timed(full_t256, args.reps, q)
+    res["map_test_tile256_ms"] = round(t * 1e3, 2)
     print(json.dumps(res))
 
 
