@@ -557,7 +557,8 @@ def _factorize_cells_bucketed(store: ClusterStore, slots: jnp.ndarray,
     return full.at[:, idx[:, None], idx[None, :]].set(linv_s)
 
 
-@functools.partial(jax.jit, static_argnames=("mb",))
+@functools.partial(jax.jit, static_argnames=("mb",),
+                   donate_argnums=(1,))
 def update_factors(store: ClusterStore, linv_buf: jnp.ndarray,
                    uniq: jnp.ndarray, slots: jnp.ndarray,
                    scale, mb=None) -> jnp.ndarray:
@@ -612,7 +613,8 @@ def _embed_linv(linv_s: jnp.ndarray, mp: int, d: int) -> jnp.ndarray:
     return full.at[:, idx[:, None], idx[None, :]].set(linv_s)
 
 
-@functools.partial(jax.jit, static_argnames=("d",))
+@functools.partial(jax.jit, static_argnames=("d",),
+                   donate_argnums=(0,))
 def update_factors_from_l(linv_buf: jnp.ndarray, uniq: jnp.ndarray,
                           slots: jnp.ndarray, l: jnp.ndarray,
                           d: int) -> jnp.ndarray:
@@ -629,7 +631,9 @@ def update_factors_from_l(linv_buf: jnp.ndarray, uniq: jnp.ndarray,
     slots: [B] aligned row-for-row with l; slots missing from uniq are
     dropped. l may be at a support bucket (system size (1+d)*mb) — the
     inverse computes at the small size and embeds (exact; see
-    _factorize_cells_bucketed).
+    _factorize_cells_bucketed). linv_buf is DONATED: the in-place
+    scatter skips a 2.1 GB buffer copy at the 3D shapes (callers always
+    discard the old buffer — api._refresh_factors).
     """
     from ..ops.gp import linv_from_chol
 

@@ -111,9 +111,11 @@ def test_bucketed_factorize_matches_full():
         (cap.test_active_cells - b,), np.iinfo(np.int32).max, jnp.int32)])
     linv0 = jnp.zeros((cap.test_active_cells,) + full.shape[1:],
                       jnp.float32)
-    up_full = cluster.update_factors(store, linv0, uniq, slots, scale)
-    up_mb = cluster.update_factors(store, linv0, uniq, slots, scale,
-                                   mb=mb)
+    # update_factors DONATES the buffer — pass a fresh copy per call
+    up_full = cluster.update_factors(store, jnp.array(linv0), uniq, slots,
+                                     scale)
+    up_mb = cluster.update_factors(store, jnp.array(linv0), uniq, slots,
+                                   scale, mb=mb)
     np.testing.assert_allclose(np.asarray(up_full), np.asarray(up_mb),
                                rtol=0, atol=2e-5)
 
@@ -148,13 +150,17 @@ def test_update_factors_from_l_matches_rebuild():
         (cap.test_active_cells - b,), np.iinfo(np.int32).max, jnp.int32)])
     mp = store.alpha.shape[-1]
     linv0 = jnp.zeros((cap.test_active_cells, mp, mp), jnp.float32)
-    up_full = cluster.update_factors(store, linv0, uniq, slots, scale)
-    up_l = cluster.update_factors_from_l(linv0, uniq, slots, l, d=d)
+    # both refresh functions DONATE the buffer — fresh copies per call
+    up_full = cluster.update_factors(store, jnp.array(linv0), uniq, slots,
+                                     scale)
+    up_l = cluster.update_factors_from_l(jnp.array(linv0), uniq, slots, l,
+                                         d=d)
     np.testing.assert_allclose(np.asarray(up_full), np.asarray(up_l),
                                rtol=0, atol=2e-5)
     # rows whose slot misses uniq are dropped, not scattered
     up_miss = cluster.update_factors_from_l(
-        linv0, uniq, jnp.asarray([0, 7, -1, 3], jnp.int32), l, d=d)
+        jnp.array(linv0), uniq, jnp.asarray([0, 7, -1, 3], jnp.int32), l,
+        d=d)
     np.testing.assert_array_equal(np.asarray(up_miss[1]),
                                   np.zeros((mp, mp), np.float32))
 
