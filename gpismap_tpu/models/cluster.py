@@ -1018,7 +1018,14 @@ def map_test_sharded(store: ClusterStore, grid: jnp.ndarray,
             tile, max_cells, max_active, use_pallas, factors_,
             vma_axes=(axis,), nbrs=nbrs_, nbr_dense=nbr_dense,
             two_phase=two_phase, pallas_bf16=pallas_bf16)
-        return f, g, vf, vg, jax.lax.psum(info, axis)
+        # ONE packed psum: a pytree psum lowers to one collective per
+        # leaf, and each tiny cross-PROCESS (Gloo) all-reduce costs ~a
+        # second in this environment (bench_multihost measured 2x4
+        # at 21k q/s with three scalar psums vs 166k single-process)
+        iv = jax.lax.psum(jnp.stack([info.n_dropped, info.n_pairs,
+                                     info.n_phase2]), axis)
+        return f, g, vf, vg, TestInfo(n_dropped=iv[0], n_pairs=iv[1],
+                                      n_phase2=iv[2])
 
     sc = jnp.float32
     ops = (store, grid, q, jnp.asarray(cell_size, sc),
