@@ -334,8 +334,7 @@ def unpack_frame_results(flat, k: int, nb: int):
         a = np.asarray(flat[:k * 9]).reshape(k, 9)
         rv = Reeval2D(action=a[:, 0].astype(np.int32), pos=a[:, 1:3],
                       grad=a[:, 3:5], noise=a[:, 5], grad_noise=a[:, 6],
-                      dbl_pos_sig=a[:, 7] > 0.5,
-                      dbl_grad_sig=a[:, 8] > 0.5)
+                      dbl_pos_sig=a[:, 7], dbl_grad_sig=a[:, 8])
     b = np.asarray(flat[k * 9:]).reshape(nb, 7)
     nm = NewMeas2D(insert_ok=b[:, 0] > 0.5, pos=b[:, 1:3],
                    grad=b[:, 3:5], noise=b[:, 5], grad_noise=b[:, 6])

@@ -694,8 +694,7 @@ def unpack_frame_results(flat, k: int, p: int):
         a = np.asarray(flat[:k * 11]).reshape(k, 11)
         rv = Reeval3D(action=a[:, 0].astype(np.int32), pos=a[:, 1:4],
                       grad=a[:, 4:7], noise=a[:, 7], grad_noise=a[:, 8],
-                      dbl_pos_sig=a[:, 9] > 0.5,
-                      dbl_grad_sig=a[:, 10] > 0.5)
+                      dbl_pos_sig=a[:, 9], dbl_grad_sig=a[:, 10])
         drop = int(flat[k * 11])
         off = k * 11 + 1
     b = np.asarray(flat[off:]).reshape(p, 9)
