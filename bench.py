@@ -123,6 +123,10 @@ def main():
         # the chip. Wall figures are reported in extra.
         "value": round(qps_dev, 1),
         "unit": "queries/s",
+        # measurement definition of `value` (advisor r4): rounds 1-3
+        # reported streamed-wall here; r4+ report device-only — compare
+        # historical JSONs via this field, not the metric name alone
+        "measurement": "device_only",
         "vs_baseline": round(qps_dev / REF_QPS, 3),
         "extra": {
             "update_frames_per_s": round(fps, 2),

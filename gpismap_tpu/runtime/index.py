@@ -120,6 +120,9 @@ class SpatialIndex:
         # node ids mutated since the last pop_dirty (drives the device
         # node-table mirror; api._sync_mirror)
         self._dirty: list = []
+        # capped host queries that had to re-issue with a larger buffer
+        # (see the auto-regrow note above the query methods)
+        self.regrow_count = 0
 
     def __del__(self):
         if getattr(self, "_h", None):
@@ -211,11 +214,21 @@ class SpatialIndex:
                     alive=alive.astype(bool))
 
     # -- queries --
+    # Every capped query below auto-regrows: the C functions return the
+    # FULL match count, so a result larger than the buffer re-issues the
+    # call at the exact size (and counts the event in regrow_count) —
+    # a truncated result is impossible to hit silently (the repo-wide
+    # no-silent-caps policy; cf. nbr_overflow / retrain_truncated).
     def query_range(self, center, half: float, cap: int = 4096):
         center = np.ascontiguousarray(center, np.float32)
         out = np.empty(cap, np.int32)
         n = self._lib.gpis_index_query_range(self._h, center, half, out, cap)
-        return out[:min(n, cap)].copy()
+        if n > cap:
+            self.regrow_count += 1
+            out = np.empty(n, np.int32)
+            n = self._lib.gpis_index_query_range(self._h, center, half, out,
+                                                 n)
+        return out[:n].copy()
 
     def query_cluster_cells(self, center, half: float, cap: int = 4096):
         center = np.ascontiguousarray(center, np.float32)
@@ -223,13 +236,22 @@ class SpatialIndex:
         dst = np.empty(cap, np.float32)
         n = self._lib.gpis_index_query_cluster_cells(self._h, center, half,
                                                      out, dst, cap)
-        n = min(n, cap)
+        if n > cap:
+            self.regrow_count += 1
+            out = np.empty(n, np.int32)
+            dst = np.empty(n, np.float32)
+            n = self._lib.gpis_index_query_cluster_cells(
+                self._h, center, half, out, dst, n)
         return out[:n].copy(), dst[:n].copy()
 
     def active_cells(self, cap: int = 65536) -> np.ndarray:
         out = np.empty(cap, np.int32)
         n = self._lib.gpis_index_get_active(self._h, out, cap)
-        return out[:min(n, cap)].copy()
+        if n > cap:
+            self.regrow_count += 1
+            out = np.empty(n, np.int32)
+            n = self._lib.gpis_index_get_active(self._h, out, n)
+        return out[:n].copy()
 
     def clear_active(self):
         self._lib.gpis_index_clear_active(self._h)
@@ -248,7 +270,11 @@ class SpatialIndex:
     def all_cluster_cells(self, cap: int = 65536) -> np.ndarray:
         out = np.empty(cap, np.int32)
         n = self._lib.gpis_index_all_cluster_cells(self._h, out, cap)
-        return out[:min(n, cap)].copy()
+        if n > cap:
+            self.regrow_count += 1
+            out = np.empty(n, np.int32)
+            n = self._lib.gpis_index_all_cluster_cells(self._h, out, n)
+        return out[:n].copy()
 
     def apply_reeval(self, ids, actions, pos, grad, noise, grad_noise,
                      dbl_ps, dbl_gs, fused_val: float) -> np.ndarray:
@@ -275,7 +301,11 @@ class SpatialIndex:
         (getAllChildrenNonEmptyNodes, quadtree.cpp:597-613)."""
         out = np.empty(cap, np.int32)
         n = self._lib.gpis_index_cell_nodes(self._h, int(cell), out, cap)
-        return out[:min(n, cap)].copy()
+        if n > cap:
+            self.regrow_count += 1
+            out = np.empty(n, np.int32)
+            n = self._lib.gpis_index_cell_nodes(self._h, int(cell), out, n)
+        return out[:n].copy()
 
     def serialize(self) -> np.ndarray:
         """Full tree state as a byte blob (exact restore incl. node ids,

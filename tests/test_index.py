@@ -145,3 +145,41 @@ def test_slot_stability_and_reuse():
     _, _, slots2 = idx.cell_info(act2)
     # freed slot is recycled
     assert set(slots2.tolist()) == set(slots0.tolist())
+
+
+def test_capped_queries_auto_regrow():
+    """A result bigger than the caller's buffer must re-issue at the
+    exact size and count the event — truncation is impossible to hit
+    silently (round-4 verdict: cell_nodes / query_range /
+    query_cluster_cells callers took the truncated array unchecked)."""
+    idx = SpatialIndex(2, TREE_2D)
+    # 9 nodes spaced over one cluster cell's span (> min dedup distance)
+    pts = np.stack([np.linspace(0.25, 7.75, 9),
+                    np.full(9, 0.31)], -1).astype(np.float32)
+    ids = idx.try_insert(pts)
+    assert (ids >= 0).all()
+    full = idx.query_range(np.array([4.0, 0.3], np.float32), 10.0)
+    assert len(full) == 9
+
+    before = idx.regrow_count
+    small = idx.query_range(np.array([4.0, 0.3], np.float32), 10.0, cap=2)
+    np.testing.assert_array_equal(np.sort(small), np.sort(full))
+    assert idx.regrow_count == before + 1
+
+    cells_full, dst_full = idx.query_cluster_cells(
+        np.array([4.0, 0.3], np.float32), 10.0)
+    cells_s, dst_s = idx.query_cluster_cells(
+        np.array([4.0, 0.3], np.float32), 10.0, cap=1)
+    np.testing.assert_array_equal(cells_s, cells_full)
+    np.testing.assert_array_equal(dst_s, dst_full)
+
+    c = cells_full[0]
+    nodes_full = idx.cell_nodes(c)
+    nodes_s = idx.cell_nodes(c, cap=1)
+    np.testing.assert_array_equal(nodes_s, nodes_full)
+
+    ac_s = idx.active_cells(cap=1)
+    np.testing.assert_array_equal(ac_s, idx.active_cells())
+    all_s = idx.all_cluster_cells(cap=1)
+    np.testing.assert_array_equal(all_s, idx.all_cluster_cells())
+    assert idx.regrow_count >= before + 4

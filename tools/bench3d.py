@@ -103,6 +103,8 @@ def main():
         "metric": "3d_sdf_grad_queries_per_s_per_chip",
         "value": round(qps_dev, 1),
         "unit": "queries/s",
+        # see bench.py: `value` switched to device-only in round 4
+        "measurement": "device_only",
         "vs_baseline": round(qps_dev / REF_QPS_3D, 3),
         "extra": {
             "update_s_per_frame": round(float(np.mean(upd)), 3),

@@ -66,7 +66,8 @@ def _timed(fn, a, k, reps, donate_idx=()):
 
 # donated argument positions per function (jit donate_argnums): the
 # re-timing loop must re-copy these per call
-_DONATED = {"update_factors": (1,), "update_factors_from_l": (0,)}
+_DONATED = {"update_factors": (1,), "update_factors_from_l": (0,),
+            "frame_finish_full": (14,)}
 
 
 class _Capture:
@@ -104,7 +105,13 @@ class _Capture:
         """Amortized seconds per frame: each captured call re-timed, then
         summed (a frame may issue several retrain buckets). Captured
         argument pytrees are released as they are timed — holding every
-        call's multi-GB factor buffers alive OOMs the 3D profile."""
+        call's multi-GB factor buffers alive OOMs the 3D profile.
+        One-shot: the released args cannot be re-timed."""
+        if getattr(self, "_timed_done", False):
+            raise RuntimeError(
+                f"_Capture({self.name}).time() already consumed its "
+                "captured arguments; capture again to re-time")
+        self._timed_done = True
         total = 0.0
         n = len(self.calls)
         for i in range(n):
@@ -158,6 +165,7 @@ def run(mode, frame_i, reps):
     caps.append(_Capture(cluster, "retrain_cells_from_mirror"))
     caps.append(_Capture(cluster, "retrain_cells_from_mirror_with_l"))
     caps.append(_Capture(cluster, "frame_finish_from_mirror"))
+    caps.append(_Capture(cluster, "frame_finish_full"))
     caps.append(_Capture(cluster, "scatter_mirror"))
     caps.append(_Capture(cluster, "build_grid_device"))
     t_wall0 = time.time()
@@ -192,6 +200,7 @@ def run(mode, frame_i, reps):
     # incremental update_factors path) then a cache-hit test
     scaps = [_Capture(cluster, "update_factors"),
              _Capture(cluster, "update_factors_from_l"),
+             _Capture(cluster, "frame_finish_full"),
              _Capture(cluster, "map_test")]
     if frame_i + 1 < len(frames):
         with contextlib.ExitStack() as st:
