@@ -398,6 +398,7 @@ def _retrain_store(m) -> None:
              and m._mirror is not None and len(groups) == 1
              and len(groups[0][1]) <= chunk_cap)
     fit_ls = []          # (padded slot rows, fit Cholesky factor) pairs
+    factors_folded = False
     _t = _time.time()
     if fused:
         mb, rows = groups[0]
@@ -412,15 +413,45 @@ def _retrain_store(m) -> None:
         sel[:len(ids)] = ids
         nd = m.index.get_nodes(sel)
         cc, sl = m._grid_host_arrays()
+        # fold the two test-path upkeep dispatches into the SAME program
+        # (round-4 headroom #1): the factor refresh whenever the cache
+        # is valid and the live slot set unchanged (the exact host gate
+        # _refresh_factors applies), and the candidate-table rebuild
+        # whenever the table path is on
+        live = m._live_slots()
+        with_factors = (
+            m._factors is not None
+            and getattr(m, "_factors_slots", None) is not None
+            and 0 < len(live) <= m.cap.test_active_cells
+            and np.array_equal(live, m._factors_slots))
+        with_nbrs = m._use_nbr_table() and len(live) > 0
+        if with_nbrs:
+            side = 2 * m.grid_half
+            m._nbr_dense = side ** m.dim <= (1 << 18)
+        if with_factors:
+            linv_buf, uniq = m._factors
+            m._factors = None         # buffer is donated below
+        else:
+            linv_buf = jnp.zeros((1, 1, 1), jnp.float32)
+            uniq = jnp.zeros((1,), jnp.int32)
         wall["retrain.collect_host"] += _time.time() - _t
         _t = _time.time()
         args = m._dev_batch((sel, nd["pos"], nd["grad"], nd["val"],
                              nd["pos_sig"], nd["grad_sig"],
                              slots, slots >= 0, sup, cc, sl))
-        m.store, m._mirror, m.grid, fit_l = \
-            cluster.frame_finish_from_mirror(
+        m.store, m._mirror, m.grid, fit_l, nbrs, new_linv = \
+            cluster.frame_finish_full(
                 m.store, m._mirror, *args[:9], m.p.map_scale_param,
-                *args[9:], m.dim, m.grid_half)
+                *args[9:], linv_buf, uniq,
+                m.dim, m.grid_half, m._noff, m.cap.nbr_k,
+                getattr(m, "_nbr_dense", False), with_factors, with_nbrs)
+        if with_factors:
+            m._factors = (new_linv, uniq)
+            factors_folded = True
+        if with_nbrs:
+            m._nbrs = nbrs
+        else:
+            m._nbrs = None
         fit_ls.append((slots, fit_l))
         m.index.clear_active()
         wall["retrain.fit_dispatch"] += _time.time() - _t
@@ -472,10 +503,16 @@ def _retrain_store(m) -> None:
         m._rebuild_grid()
         wall["retrain.grid_rebuild"] += _time.time() - _t
     _t = _time.time()
-    m._nbrs = None       # candidate table rebuilt lazily at next test()
-    m._refresh_factors(rt["slots"][:b] if b else np.zeros(0, np.int32),
-                       counts=rt["counts"][:b] if b else None,
-                       fit_ls=fit_ls or None)
+    if not fused:
+        m._nbrs = None   # candidate table rebuilt lazily at next test()
+    if factors_folded:
+        # refresh already happened inside frame_finish_full; the slot
+        # set was verified unchanged, so _factors_slots stays valid
+        pass
+    else:
+        m._refresh_factors(rt["slots"][:b] if b else np.zeros(0, np.int32),
+                           counts=rt["counts"][:b] if b else None,
+                           fit_ls=fit_ls or None)
     m._replicate_state()
     wall["retrain.factor_refresh"] += _time.time() - _t
 

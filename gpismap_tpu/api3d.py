@@ -135,17 +135,20 @@ class GPisMap3D(_MeshMixin):
         tr = pose[:3]
         rot = pose[3:12].reshape(3, 3, order="F")
 
+        # host-side range gate: (nv, rmax) without a device pull, and nv's
+        # pow2 bucket routes the probe sweep through the compacted gather
+        # path (mapper3d.newmeas_3d nv_cap)
+        nv, rmax = self._host_gate(depth)
+        if nv <= 1:
+            return
         # depth stays replicated (the grid-partitioned obs fit is global);
         # the sharded axes are re-evaluated nodes, retrain cells, queries
         prep, obs, nm = mapper3d.frame_compute_3d(
             self._dev(depth), self._dev(tr), self._dev(rot), self.cam,
-            self.p, self.op)
+            self.p, self.op, nv_cap=self._obs_nv_cap(nv))
         # ONE blocking pull for everything update() needs on host (the
         # remote-TPU round trip is ~110 ms; see CLAUDE.md)
-        nv, rmax, nm = jax.device_get(
-            (jnp.sum(prep.valid), prep.range_obs_max, nm))
-        if int(nv) <= 1:
-            return
+        nm = jax.device_get(nm)
 
         self._update_map_points(obs, float(rmax), tr, rot)
 
@@ -160,6 +163,22 @@ class GPisMap3D(_MeshMixin):
             update_s=round(_time.time() - _t0, 4),
             retrain_s=round(_time.time() - _t1, 4))
         self.frame += 1
+
+    def _obs_nv_cap(self, nv: int):
+        """pow2 bucket (floor 1024) of the frame's valid-pixel count for
+        the compacted probe sweep (mapper3d.newmeas_3d nv_cap) — the
+        bundled sequences gate out >95 % of pixels, so the dense sweeps
+        evaluate >20x the needed ObsGP posteriors. TPU default;
+        GPISMAP_OBS_COMPACT=0/1 overrides (CPU keeps the dense paths the
+        goldens were captured with). Bucketing limits recompiles (each
+        new bucket is a fresh frame_compute_3d compile; CLAUDE.md)."""
+        import os
+        v = os.environ.get("GPISMAP_OBS_COMPACT", "auto")
+        if v in ("0", "off"):
+            return None
+        if v not in ("1", "on") and jax.default_backend() != "tpu":
+            return None
+        return max(1024, _next_pow2(nv))
 
     def _host_gate(self, depth: np.ndarray):
         """Host replica of preprocess_3d's range gate (GPisMap3.cpp:176-210)
@@ -207,7 +226,8 @@ class GPisMap3D(_MeshMixin):
                 continue
             dep_d, tr_d, rot_d = self._dev_batch((depth, tr, rot))
             prep, obs, nm = mapper3d.frame_compute_3d(
-                dep_d, tr_d, rot_d, self.cam, self.p, self.op)
+                dep_d, tr_d, rot_d, self.cam, self.p, self.op,
+                nv_cap=self._obs_nv_cap(nv))
             pend.append((tr, rot, rmax, obs, nm))
 
         for item in pend:

@@ -227,6 +227,52 @@ def frame_finish_from_mirror(store: ClusterStore, mirror: NodeMirror,
     return store, mirror, grid, l
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("dim", "grid_half", "noff", "k_cap",
+                                    "nbr_dense", "with_factors",
+                                    "with_nbrs"),
+                   donate_argnums=(14,))
+def frame_finish_full(store: ClusterStore, mirror: NodeMirror,
+                      ids, pos, grad, val, pos_sig, grad_sig,
+                      slots, slot_ok, sup, scale,
+                      cell_coords, cell_slots, linv_buf, uniq,
+                      dim: int, grid_half: int, noff: int, k_cap: int,
+                      nbr_dense: bool, with_factors: bool,
+                      with_nbrs: bool):
+    """frame_finish_from_mirror EXTENDED with the two test-path upkeep
+    stages that used to be separate dispatches (round-4 BASELINE
+    headroom #1): the factor-cache refresh from the fit's own L
+    (update_factors_from_l; valid only when the caller verified the live
+    slot set is unchanged) and the candidate-table rebuild
+    (build_neighbor_table on the POST-retrain `trained`).
+
+    One program, one upload, one per-dispatch floor instead of three
+    (the refresh alone measured 16.5 ms steady-state 3D, the table
+    2.9 ms — each carrying its own ~2 ms dispatch floor). Exactly
+    equivalent to the separate calls (gated in tests/test_factors.py /
+    test_nbrs.py fused-epilogue tests).
+
+    linv_buf is DONATED (scatter in place; 2.1 GB at 3D shapes). When
+    with_factors is False, pass a dummy [1, 1, 1] buffer. Returns
+    (store, mirror, grid, l, nbrs | None, linv_buf | None).
+    """
+    mirror = scatter_mirror(mirror, ids, pos, grad, val, pos_sig,
+                            grad_sig)
+    store, l = retrain_cells_from_mirror_with_l(store, mirror, slots,
+                                                slot_ok, sup, scale)
+    grid = build_grid_device(cell_coords, cell_slots, dim, grid_half)
+    nbrs = None
+    if with_nbrs:
+        nbrs = build_neighbor_table(cell_coords, cell_slots, store.trained,
+                                    grid_half, noff, k_cap, nbr_dense)
+    if with_factors:
+        linv_buf = _update_factors_from_l_impl(linv_buf, uniq, slots, l,
+                                               dim)
+    else:
+        linv_buf = None
+    return store, mirror, grid, l, nbrs, linv_buf
+
+
 def clear_slots(store: ClusterStore, slots: jnp.ndarray,
                 slot_ok: jnp.ndarray) -> ClusterStore:
     """Mark slots untrained (cells pruned by the index)."""
@@ -613,6 +659,21 @@ def _embed_linv(linv_s: jnp.ndarray, mp: int, d: int) -> jnp.ndarray:
     return full.at[:, idx[:, None], idx[None, :]].set(linv_s)
 
 
+def _update_factors_from_l_impl(linv_buf, uniq, slots, l, d):
+    """Trace-level body of update_factors_from_l (also inlined by
+    frame_finish_full, where the DONATION lives on the outer program)."""
+    from ..ops.gp import linv_from_chol
+
+    big = jnp.iinfo(jnp.int32).max
+    max_active = linv_buf.shape[0]
+    sl = jnp.where(slots >= 0, slots, big).astype(jnp.int32)
+    pos = jnp.clip(jnp.searchsorted(uniq, sl), 0, max_active - 1)
+    hit = (sl < big) & (uniq[pos] == sl)
+    linv_full = _embed_linv(linv_from_chol(l), linv_buf.shape[-1], d)
+    tgt = jnp.where(hit, pos, max_active)
+    return linv_buf.at[tgt].set(linv_full, mode='drop')
+
+
 @functools.partial(jax.jit, static_argnames=("d",),
                    donate_argnums=(0,))
 def update_factors_from_l(linv_buf: jnp.ndarray, uniq: jnp.ndarray,
@@ -635,16 +696,7 @@ def update_factors_from_l(linv_buf: jnp.ndarray, uniq: jnp.ndarray,
     scatter skips a 2.1 GB buffer copy at the 3D shapes (callers always
     discard the old buffer — api._refresh_factors).
     """
-    from ..ops.gp import linv_from_chol
-
-    big = jnp.iinfo(jnp.int32).max
-    max_active = linv_buf.shape[0]
-    sl = jnp.where(slots >= 0, slots, big).astype(jnp.int32)
-    pos = jnp.clip(jnp.searchsorted(uniq, sl), 0, max_active - 1)
-    hit = (sl < big) & (uniq[pos] == sl)
-    linv_full = _embed_linv(linv_from_chol(l), linv_buf.shape[-1], d)
-    tgt = jnp.where(hit, pos, max_active)
-    return linv_buf.at[tgt].set(linv_full, mode='drop')
+    return _update_factors_from_l_impl(linv_buf, uniq, slots, l, d)
 
 
 class TestInfo(NamedTuple):
@@ -855,9 +907,15 @@ def map_test(store: ClusterStore, grid: jnp.ndarray, q: jnp.ndarray,
         jnp.arange(max_active, dtype=jnp.int32), mode='drop')
 
     def compact(seg):
-        """[P] slot ids -> (compact ids [-1 skip], n_dropped)."""
+        """[P] slot ids -> (compact ids [-1 skip], n_dropped).
+
+        The in-range guard keeps an out-of-range slot id (>= max_cells)
+        from aliasing onto a real cell's compact id through the clip —
+        unreachable with well-formed stores, but the old searchsorted
+        path verified membership exactly, so keep that property."""
+        in_range = (seg >= 0) & (seg < max_cells)
         comp = lut[jnp.clip(seg, 0, max_cells - 1)]
-        comp = jnp.where(seg >= 0, comp, -1)
+        comp = jnp.where(in_range, comp, -1)
         n_drop = jnp.sum((seg >= 0) & (comp < 0)).astype(jnp.int32)
         return comp, n_drop
 

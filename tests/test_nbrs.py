@@ -234,3 +234,48 @@ def test_mapper_mirror_3d_two_frames(monkeypatch):
                                   np.asarray(m1.store.alpha))
     xt, _ = datasets.bigbird_test_grid()
     np.testing.assert_array_equal(m0.test(xt[::64]), m1.test(xt[::64]))
+
+
+def test_fused_epilogue_folds_table_and_factors(monkeypatch):
+    """The one-dispatch epilogue (cluster.frame_finish_full) must leave
+    the mapper holding a candidate table equal to a fresh
+    build_neighbor_table AND a factor cache equal to a fresh
+    factorize_slots — the two upkeep stages it folded in (round-4
+    BASELINE headroom #1)."""
+    import jax.numpy as jnp
+
+    from gpismap_tpu import datasets
+    from gpismap_tpu.api import GPisMap2D
+    from gpismap_tpu.models import cluster
+
+    monkeypatch.setenv("GPISMAP_NBR_TABLE", "1")
+    m = GPisMap2D()
+    # one retrain bucket -> one group -> the fused epilogue runs on CPU
+    # too (TPU always groups into one dispatch; _retrain_store)
+    m._retrain_buckets = (m.cap.gp_support,)
+    fr = list(datasets.gazebo_frames())[0]
+    m.update(fr.thetas, fr.ranges, fr.pose)
+    m.test(np.zeros((8, 2), np.float32))     # fill table + factor cache
+    assert m._nbrs is not None and m._factors is not None
+    # same scan again: slot set unchanged -> fused epilogue folds both
+    m.update(fr.thetas, fr.ranges, fr.pose)
+    assert m._nbrs is not None, "folded table missing"
+    assert m._factors is not None, "folded factor refresh missing"
+
+    nbrs_folded = m._nbrs
+    m._nbrs = None
+    m._build_nbrs()
+    for a, b in zip(nbrs_folded, m._nbrs):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    live = m._live_slots()
+    pad = np.full(m.cap.test_active_cells, -1, np.int32)
+    pad[:len(live)] = live
+    linv_fresh, uniq_fresh = cluster.factorize_slots(
+        m.store, jnp.asarray(pad), m.p.map_scale_param,
+        m.cap.test_active_cells)
+    np.testing.assert_array_equal(np.asarray(m._factors[1]),
+                                  np.asarray(uniq_fresh))
+    np.testing.assert_allclose(np.asarray(m._factors[0]),
+                               np.asarray(linv_fresh), rtol=1e-5,
+                               atol=1e-5)

@@ -255,3 +255,53 @@ def test_obsgp2d_blocked_matches_gather():
     da = np.abs(a_true - a_of_row[:, None, None])[valid]
     db = np.abs(b_true - b_of_col[None, :, None])[valid]
     assert da.max() <= 1 and db.max() <= 1, (da.max(), db.max())
+
+
+def test_newmeas3d_compact_matches_gather():
+    """The compacted probe sweep (newmeas_3d nv_cap) must reproduce the
+    gather path EXACTLY for every pixel that can insert: it routes the
+    same queries through the same evaluator, only skipping pixels the
+    range gate already excludes (whose outputs are sentinel-filled and
+    unobservable through insert_ok)."""
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    from gpismap_tpu import datasets
+    from gpismap_tpu.config import BIGBIRD_CAMS, MAPPER_3D, OBSGP_2D
+    from gpismap_tpu.models import mapper3d, obsgp
+
+    try:
+        fr = next(datasets.bigbird_frames())
+    except FileNotFoundError:
+        pytest.skip("bigbird data not available")
+    cam = BIGBIRD_CAMS[fr.cam_id - 1]
+    pose = np.asarray(fr.pose, np.float32).reshape(-1)
+    tr, rot = pose[:3], pose[3:12].reshape(3, 3, order="F")
+
+    prep = mapper3d.preprocess_3d(jnp.asarray(fr.depth, jnp.float32),
+                                  jnp.asarray(tr), jnp.asarray(rot), cam,
+                                  MAPPER_3D)
+    obs = obsgp.fit_obsgp2d(prep.v, prep.u, prep.zinv, OBSGP_2D)
+
+    nv = int(np.asarray(prep.valid).sum())
+    nv_cap = max(1024, 1 << (nv - 1).bit_length())
+    nm_g = mapper3d.newmeas_3d(obs, prep, jnp.asarray(rot), MAPPER_3D,
+                               OBSGP_2D, cam=cam, blocked=False)
+    nm_c = mapper3d.newmeas_3d(obs, prep, jnp.asarray(rot), MAPPER_3D,
+                               OBSGP_2D, cam=cam, nv_cap=nv_cap)
+
+    np.testing.assert_array_equal(np.asarray(nm_g.insert_ok),
+                                  np.asarray(nm_c.insert_ok))
+    ok = np.asarray(nm_g.insert_ok)
+    assert ok.sum() > 100          # a real frame exercises the path
+    for name in ("pos", "grad", "noise", "grad_noise"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(nm_g, name))[ok],
+            np.asarray(getattr(nm_c, name))[ok], err_msg=name)
+
+    # a too-small cap must also stay silent-cap-free at the semantics
+    # level: pixels beyond the cap are simply treated as gated out
+    # (insert_ok False), never evaluated wrongly — verify the compacted
+    # set is valid-first so a cap >= nv loses nothing
+    assert nv <= nv_cap
