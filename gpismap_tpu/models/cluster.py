@@ -699,6 +699,64 @@ def update_factors_from_l(linv_buf: jnp.ndarray, uniq: jnp.ndarray,
     return _update_factors_from_l_impl(linv_buf, uniq, slots, l, d)
 
 
+def _top3_by_distance(sqd: jnp.ndarray, ok: jnp.ndarray) -> jnp.ndarray:
+    """Column indices of the 3 smallest masked distances per row in ONE
+    variadic-reduce pass — exactly the 3-pass masked argmin's outputs
+    (first-lowest-index tie order) without re-reading the [Q, K]
+    distance matrix three times.
+
+    Each element enters the reduction as a sorted (value, index) triple
+    with one real entry; the combiner merges two sorted triples keeping
+    the 3 smallest under (value, index) lexicographic order, which is
+    associative + commutative, so the XLA reduction tree is exact.
+    Rows with fewer than 3 candidates return clipped filler indices —
+    callers mask by rank < n_cand exactly as on the argmin path.
+    """
+    q_, k_ = sqd.shape
+    big = jnp.iinfo(jnp.int32).max
+    v = jnp.where(ok, sqd, jnp.inf).astype(jnp.float32)
+    i0 = jnp.broadcast_to(jnp.arange(k_, dtype=jnp.int32)[None], (q_, k_))
+    fv = jnp.full_like(v, jnp.inf)
+    fi = jnp.full_like(i0, big)
+
+    def lt(va, ia, vb, ib):
+        return (va < vb) | ((va == vb) & (ia < ib))
+
+    def merge(acc, elt):
+        av = [acc[0], acc[1], acc[2]]
+        ai = [acc[3], acc[4], acc[5]]
+        bv = [elt[0], elt[1], elt[2]]
+        bi = [elt[3], elt[4], elt[5]]
+        outv, outi = [], []
+        inf_s = jnp.float32(jnp.inf)
+        big_s = jnp.int32(big)
+        for _ in range(3):
+            ta = lt(av[0], ai[0], bv[0], bi[0])
+            outv.append(jnp.where(ta, av[0], bv[0]))
+            outi.append(jnp.where(ta, ai[0], bi[0]))
+            av = [jnp.where(ta, av[1], av[0]),
+                  jnp.where(ta, av[2], av[1]),
+                  jnp.where(ta, inf_s, av[2])]
+            ai = [jnp.where(ta, ai[1], ai[0]),
+                  jnp.where(ta, ai[2], ai[1]),
+                  jnp.where(ta, big_s, ai[2])]
+            # the losing list is unchanged; only one list pops per step,
+            # so swap roles via fresh selects next iteration
+            bv = [jnp.where(ta, bv[0], bv[1]),
+                  jnp.where(ta, bv[1], bv[2]),
+                  jnp.where(ta, bv[2], inf_s)]
+            bi = [jnp.where(ta, bi[0], bi[1]),
+                  jnp.where(ta, bi[1], bi[2]),
+                  jnp.where(ta, bi[2], big_s)]
+        return tuple(outv) + tuple(outi)
+
+    init = (jnp.float32(jnp.inf),) * 3 + (jnp.int32(big),) * 3
+    res = jax.lax.reduce((v, fv, fv, i0, fi, fi), init, merge,
+                         dimensions=(1,))
+    top_idx = jnp.stack(res[3:], axis=-1)
+    return jnp.clip(top_idx, 0, k_ - 1).astype(jnp.int32)
+
+
 class TestInfo(NamedTuple):
     """Per-call observability counters returned by map_test.
 
