@@ -536,6 +536,67 @@ def _table_candidates(nbrs: NeighborTable, q: jnp.ndarray, cell_size,
     return slots, sqd, ok
 
 
+def _candidates_top3(nbrs: NeighborTable, q: jnp.ndarray, cell_size,
+                     grid_half: int, search_half, dense: bool):
+    """_table_candidates + 3-nearest selection fused, in a transposed
+    [K, Q] layout.
+
+    Bit-identical outputs to the two-stage path (same comparisons, same
+    first-lowest-index argmin tie order — verified in-suite and by
+    tools/plan_probe.py): the [Q, K] layout pads K=48 to 128 lanes and
+    the 3-pass argmin re-reads it repeatedly (measured 2.6 + 5.9 ms at
+    the 65k-query 2D bench shape); transposing puts Q on the lanes so
+    every reduction runs lane-parallel across queries.
+
+    Returns (top_slot [Q, 3], top_ok [Q, 3], n_cand [Q]) — exactly the
+    selection map_test consumes downstream.
+    """
+    d = q.shape[-1]
+    side = 2 * grid_half
+    t, k_cap = nbrs.slot.shape[:2]
+    k0 = jnp.floor(q / cell_size).astype(jnp.int32)
+    gidx = k0 + grid_half
+    inb = jnp.all((gidx >= 0) & (gidx < side), axis=-1)
+    gflat = gidx[..., 0]
+    for a in range(1, d):
+        gflat = gflat * side + gidx[..., a]
+    gflat = jnp.where(inb, gflat, 0)
+    if dense:
+        row = gflat
+        hit = inb
+    else:
+        big = jnp.iinfo(jnp.int32).max
+        pos = jnp.clip(jnp.searchsorted(nbrs.keys, gflat), 0, t - 1)
+        hit = inb & (nbrs.keys[pos] == gflat)
+        row = pos
+    rowc = jnp.clip(row, 0, t - 1)
+    slots_t = nbrs.slot[rowc].T                       # [K, Q]
+    coord_t = jnp.moveaxis(nbrs.coord[rowc], 0, -1)   # [K, D, Q]
+    centers_t = (coord_t.astype(q.dtype) + 0.5) * cell_size
+    diff_t = centers_t - q.T[None]                    # [K, D, Q]
+    sqd_t = jnp.sum(diff_t * diff_t, axis=1)          # [K, Q]
+    reach = search_half + cell_size * 0.5
+    inter_t = jnp.all(jnp.abs(diff_t) <= reach, axis=1)
+    ok_t = (slots_t >= 0) & inter_t & hit[None, :]
+    n_cand = jnp.sum(ok_t, axis=0)
+
+    cur = jnp.where(ok_t, sqd_t, jnp.inf)
+    iota_k = jnp.arange(k_cap, dtype=jnp.int32)[:, None]
+    oki = ok_t.astype(jnp.int32)
+    tops_slot, tops_ok = [], []
+    for r in range(3):
+        i = jnp.argmin(cur, axis=0)                   # first-min ties
+        sel = iota_k == i[None, :]
+        tops_slot.append(jnp.sum(jnp.where(sel, slots_t, 0), axis=0))
+        tops_ok.append(jnp.sum(jnp.where(sel, oki, 0), axis=0) > 0)
+        if r < 2:
+            cur = jnp.where(sel, jnp.inf, cur)
+    top_slot = jnp.stack(tops_slot, axis=-1)
+    top_ok = (jnp.stack(tops_ok, axis=-1)
+              & (jnp.arange(3)[None, :] < n_cand[:, None]))
+    return top_slot.astype(jnp.int32), top_ok, n_cand
+
+
 @functools.partial(jax.jit, static_argnames=("max_active",))
 def factorize_slots(store: ClusterStore, slots: jnp.ndarray, scale,
                     max_active: int):
@@ -699,64 +760,6 @@ def update_factors_from_l(linv_buf: jnp.ndarray, uniq: jnp.ndarray,
     return _update_factors_from_l_impl(linv_buf, uniq, slots, l, d)
 
 
-def _top3_by_distance(sqd: jnp.ndarray, ok: jnp.ndarray) -> jnp.ndarray:
-    """Column indices of the 3 smallest masked distances per row in ONE
-    variadic-reduce pass — exactly the 3-pass masked argmin's outputs
-    (first-lowest-index tie order) without re-reading the [Q, K]
-    distance matrix three times.
-
-    Each element enters the reduction as a sorted (value, index) triple
-    with one real entry; the combiner merges two sorted triples keeping
-    the 3 smallest under (value, index) lexicographic order, which is
-    associative + commutative, so the XLA reduction tree is exact.
-    Rows with fewer than 3 candidates return clipped filler indices —
-    callers mask by rank < n_cand exactly as on the argmin path.
-    """
-    q_, k_ = sqd.shape
-    big = jnp.iinfo(jnp.int32).max
-    v = jnp.where(ok, sqd, jnp.inf).astype(jnp.float32)
-    i0 = jnp.broadcast_to(jnp.arange(k_, dtype=jnp.int32)[None], (q_, k_))
-    fv = jnp.full_like(v, jnp.inf)
-    fi = jnp.full_like(i0, big)
-
-    def lt(va, ia, vb, ib):
-        return (va < vb) | ((va == vb) & (ia < ib))
-
-    def merge(acc, elt):
-        av = [acc[0], acc[1], acc[2]]
-        ai = [acc[3], acc[4], acc[5]]
-        bv = [elt[0], elt[1], elt[2]]
-        bi = [elt[3], elt[4], elt[5]]
-        outv, outi = [], []
-        inf_s = jnp.float32(jnp.inf)
-        big_s = jnp.int32(big)
-        for _ in range(3):
-            ta = lt(av[0], ai[0], bv[0], bi[0])
-            outv.append(jnp.where(ta, av[0], bv[0]))
-            outi.append(jnp.where(ta, ai[0], bi[0]))
-            av = [jnp.where(ta, av[1], av[0]),
-                  jnp.where(ta, av[2], av[1]),
-                  jnp.where(ta, inf_s, av[2])]
-            ai = [jnp.where(ta, ai[1], ai[0]),
-                  jnp.where(ta, ai[2], ai[1]),
-                  jnp.where(ta, big_s, ai[2])]
-            # the losing list is unchanged; only one list pops per step,
-            # so swap roles via fresh selects next iteration
-            bv = [jnp.where(ta, bv[0], bv[1]),
-                  jnp.where(ta, bv[1], bv[2]),
-                  jnp.where(ta, bv[2], inf_s)]
-            bi = [jnp.where(ta, bi[0], bi[1]),
-                  jnp.where(ta, bi[1], bi[2]),
-                  jnp.where(ta, bi[2], big_s)]
-        return tuple(outv) + tuple(outi)
-
-    init = (jnp.float32(jnp.inf),) * 3 + (jnp.int32(big),) * 3
-    res = jax.lax.reduce((v, fv, fv, i0, fi, fi), init, merge,
-                         dimensions=(1,))
-    top_idx = jnp.stack(res[3:], axis=-1)
-    return jnp.clip(top_idx, 0, k_ - 1).astype(jnp.int32)
-
-
 class TestInfo(NamedTuple):
     """Per-call observability counters returned by map_test.
 
@@ -912,33 +915,35 @@ def map_test(store: ClusterStore, grid: jnp.ndarray, q: jnp.ndarray,
     """
     nq, d = q.shape
     if nbrs is not None:
-        # precomputed candidate rows (one contiguous gather per query;
-        # trained baked in at build) — identical semantics and order
-        slots, sqd, ok = _table_candidates(nbrs, q, cell_size, grid_half,
-                                           search_half, nbr_dense)
+        # precomputed candidate rows + 3-nearest selection in ONE
+        # transposed pass (identical semantics and order; the [Q, K]
+        # layout + 3-pass argmin measured 8.5 ms of the 65k-query 2D
+        # batch vs ~1.5 fused — tools/plan_probe.py)
+        top_slot, top_ok, n_cand = _candidates_top3(
+            nbrs, q, cell_size, grid_half, search_half, nbr_dense)
     else:
         slots, sqd, ok = _grid_candidates(grid, q, cell_size, grid_half,
                                           noff, search_half,
                                           store.trained)
-    n_cand = jnp.sum(ok, axis=-1)
-    # 3 nearest candidates by center distance (GPisMap.cpp:695-698).
-    # Three masked argmin passes instead of lax.top_k: top_k sorts the
-    # whole K-wide candidate row per query (measured 129 ms of a 158 ms
-    # query batch on TPU); argmin is a cheap reduction and has identical
-    # tie semantics (first lowest index).
-    sqd_m = jnp.where(ok, sqd, jnp.inf)
-    kw = sqd_m.shape[-1]
-    cols = jnp.arange(kw, dtype=jnp.int32)
-    cur = sqd_m
-    tops = []
-    for _ in range(3):
-        i = jnp.argmin(cur, axis=-1).astype(jnp.int32)
-        tops.append(i)
-        cur = jnp.where(cols[None, :] == i[:, None], jnp.inf, cur)
-    top_idx = jnp.stack(tops, axis=-1)                        # [Q, 3]
-    top_slot = jnp.take_along_axis(slots, top_idx, axis=-1)
-    top_ok = jnp.take_along_axis(ok, top_idx, axis=-1)
-    top_ok = top_ok & (jnp.arange(3)[None, :] < n_cand[:, None])
+        n_cand = jnp.sum(ok, axis=-1)
+        # 3 nearest candidates by center distance (GPisMap.cpp:695-698).
+        # Three masked argmin passes instead of lax.top_k: top_k sorts
+        # the whole K-wide candidate row per query (measured 129 ms of a
+        # 158 ms query batch on TPU); argmin is a cheap reduction and
+        # has identical tie semantics (first lowest index).
+        sqd_m = jnp.where(ok, sqd, jnp.inf)
+        kw = sqd_m.shape[-1]
+        cols = jnp.arange(kw, dtype=jnp.int32)
+        cur = sqd_m
+        tops = []
+        for _ in range(3):
+            i = jnp.argmin(cur, axis=-1).astype(jnp.int32)
+            tops.append(i)
+            cur = jnp.where(cols[None, :] == i[:, None], jnp.inf, cur)
+        top_idx = jnp.stack(tops, axis=-1)                    # [Q, 3]
+        top_slot = jnp.take_along_axis(slots, top_idx, axis=-1)
+        top_ok = jnp.take_along_axis(ok, top_idx, axis=-1)
+        top_ok = top_ok & (jnp.arange(3)[None, :] < n_cand[:, None])
 
     # pair list: (query, rank) -> cell; pair p belongs to query p // 3
     seg3 = jnp.where(top_ok, top_slot, -1)                    # [Q, 3]

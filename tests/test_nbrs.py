@@ -279,3 +279,49 @@ def test_fused_epilogue_folds_table_and_factors(monkeypatch):
     np.testing.assert_allclose(np.asarray(m._factors[0]),
                                np.asarray(linv_fresh), rtol=1e-5,
                                atol=1e-5)
+
+
+def test_candidates_top3_fused_matches_two_stage():
+    """_candidates_top3 (transposed fused path) must reproduce the
+    two-stage _table_candidates + 3-pass-argmin selection exactly,
+    including argmin's first-lowest-index tie order (synthetic table
+    with many duplicate distances)."""
+    import jax.numpy as jnp
+
+    from gpismap_tpu.models import cluster
+
+    rng = np.random.default_rng(3)
+    t, k, d, nq = 64, 12, 2, 513
+    grid_half = 8
+    keys = np.arange(t, dtype=np.int32)          # dense variant
+    slot = rng.integers(-1, 30, (t, k)).astype(np.int32)
+    coord = rng.integers(-grid_half, grid_half, (t, k, d)).astype(np.int32)
+    nbrs = cluster.NeighborTable(
+        keys=jnp.asarray(keys), slot=jnp.asarray(slot),
+        coord=jnp.asarray(coord), n_overflow=jnp.int32(0))
+    cell = 1.0
+    q = np.round(rng.uniform(-7, 7, (nq, d))).astype(np.float32) + 0.5
+    q = jnp.asarray(q)   # lattice-ish points force exact sqd ties
+
+    slots, sqd, ok = cluster._table_candidates(nbrs, q, cell, grid_half,
+                                               3.0, True)
+    n_cand = jnp.sum(ok, -1)
+    sqd_m = jnp.where(ok, sqd, jnp.inf)
+    cols = jnp.arange(k, dtype=jnp.int32)
+    cur = sqd_m
+    tops = []
+    for _ in range(3):
+        i = jnp.argmin(cur, axis=-1).astype(jnp.int32)
+        tops.append(i)
+        cur = jnp.where(cols[None, :] == i[:, None], jnp.inf, cur)
+    top_idx = jnp.stack(tops, -1)
+    ref_slot = jnp.take_along_axis(slots, top_idx, axis=-1)
+    ref_ok = (jnp.take_along_axis(ok, top_idx, axis=-1)
+              & (jnp.arange(3)[None] < n_cand[:, None]))
+
+    got_slot, got_ok, got_n = cluster._candidates_top3(
+        nbrs, q, cell, grid_half, 3.0, True)
+    np.testing.assert_array_equal(np.asarray(got_n), np.asarray(n_cand))
+    np.testing.assert_array_equal(np.asarray(got_ok), np.asarray(ref_ok))
+    np.testing.assert_array_equal(np.asarray(got_slot)[np.asarray(ref_ok)],
+                                  np.asarray(ref_slot)[np.asarray(ref_ok)])

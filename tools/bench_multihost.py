@@ -24,6 +24,7 @@ REPO = os.path.dirname(HERE)
 _WORKER = r"""
 import json, os, sys, time
 pid = int(sys.argv[1]); port = sys.argv[2]; nproc = int(sys.argv[3])
+nq_env = int(os.environ.get('GPISMAP_BENCH_NQ', 65536))
 import jax
 jax.config.update("jax_platforms", "cpu")
 import numpy as np
@@ -40,7 +41,7 @@ multihost.initialize(coordinator_address=f"127.0.0.1:{port}",
 mesh = multihost.global_data_mesh()
 store, grid, kw = _circle_map()
 
-nq_total = 65536
+nq_total = nq_env
 rows = nq_total // nproc
 rng = np.random.default_rng(0)
 q = np.asarray(rng.uniform(-2, 2, (nq_total, 2)), np.float32)

@@ -12,10 +12,14 @@ Usage: python tools/plan_probe.py [--cpu] [--reps 20]
 import argparse
 import functools
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 
 def _timeit(fn, args, reps):
@@ -92,25 +96,6 @@ def main():
     out["top3_argmin_ms"] = round(
         _timeit(top3_argmin, (slots, sqd, ok), args.reps) * 1e3, 3)
 
-    # ---- stage 2b: single-pass variadic-reduce top-3 ----
-    @jax.jit
-    def top3_reduce(slots, sqd, ok):
-        top_idx = cluster._top3_by_distance(sqd, ok)
-        return (jnp.take_along_axis(slots, top_idx, axis=-1),
-                jnp.take_along_axis(ok, top_idx, axis=-1), top_idx)
-
-    have_reduce = hasattr(cluster, "_top3_by_distance")
-    if have_reduce:
-        a = jax.device_get(top3_argmin(slots, sqd, ok))
-        b = jax.device_get(top3_reduce(slots, sqd, ok))
-        # equality where the rank is real; tie order must match argmin's
-        ok3 = a[1]
-        same = all(np.array_equal(np.asarray(x)[ok3], np.asarray(y)[ok3])
-                   for x, y in zip(a, b))
-        out["top3_reduce_equal"] = bool(same)
-        out["top3_reduce_ms"] = round(
-            _timeit(top3_reduce, (slots, sqd, ok), args.reps) * 1e3, 3)
-
     # ---- stage 3: compaction + tile plan ----
     top_slot, top_ok, _ = top3_argmin(slots, sqd, ok)
 
@@ -131,6 +116,34 @@ def main():
         _timeit(compact_and_plan, (top_slot, top_ok, factors[1]),
                 args.reps) * 1e3, 3)
 
+    # ---- plan_tiles internals: the packed-key sort alone ----
+    p_ = int(top_slot.size)
+    key = jax.device_put(jnp.asarray(
+        np.random.default_rng(0).integers(0, 1 << 27, p_, np.int32)))
+    out["sort_only_ms"] = round(
+        _timeit(jax.jit(jnp.sort), (key,), args.reps) * 1e3, 3)
+
+    # ---- transposed-layout candidates + top3 (if present) ----
+    if hasattr(cluster, "_candidates_top3"):
+        @jax.jit
+        def fused_t(nbrs, q):
+            return cluster._candidates_top3(
+                nbrs, q, kw["cell_size"], kw["grid_half"],
+                kw["search_half"], m._nbr_dense)
+
+        ts, to, nc = fused_t(nbrs, q)
+        a_slot, a_ok, _ = top3_argmin(slots, sqd, ok)
+        # the two-stage reference applies the rank < n_cand mask in
+        # map_test, after take_along_axis — apply it here too
+        ok_ref = np.asarray(a_ok) & (np.arange(3)[None] <
+                                     np.asarray(jnp.sum(ok, -1))[:, None])
+        same = (np.array_equal(np.asarray(ts)[ok_ref],
+                               np.asarray(a_slot)[ok_ref])
+                and np.array_equal(np.asarray(to), ok_ref))
+        out["fused_t_equal"] = bool(same)
+        out["fused_t_ms"] = round(
+            _timeit(fused_t, (nbrs, q), args.reps) * 1e3, 3)
+
     # ---- full map_test ----
     run = functools.partial(
         cluster.map_test, use_pallas=m._use_pallas(), nbrs=nbrs,
@@ -140,6 +153,10 @@ def main():
         _timeit(lambda s, g, q, f: run(s, g, q, factors=f),
                 (m.store, m.grid, q, factors), args.reps) * 1e3, 3)
     out["map_test_qps"] = round(len(xtest) / (out["map_test_ms"] / 1e3), 1)
+    out["map_test_two_phase_ms"] = round(
+        _timeit(lambda s, g, q, f: run(s, g, q, factors=f,
+                                       two_phase=True),
+                (m.store, m.grid, q, factors), args.reps) * 1e3, 3)
     print(json.dumps(out))
     return 0
 
