@@ -518,8 +518,15 @@ def _retrain_store(m) -> None:
 
 
 def _default_buckets(mcap: int) -> tuple:
-    """Support-size buckets (ascending, last == capacity)."""
-    cand = sorted({max(16, mcap // 4), max(16, mcap // 2), mcap})
+    """Support-size buckets (ascending, last == capacity).
+
+    The 3/4 bucket matters on TPU, where the single-dispatch rule picks
+    the smallest bucket covering the frame's max support count: the 2D
+    demo sequence peaks at 66-75 of 128 every mid/late frame (measured
+    round 5), which the (1/4, 1/2, 1) set rounds all the way up to full
+    capacity — (96/128)^3 = 0.42x the fit FLOPs recovered for free."""
+    cand = sorted({max(16, mcap // 4), max(16, mcap // 2),
+                   max(16, 3 * mcap // 4), mcap})
     return tuple(b for b in cand if b <= mcap)
 
 

@@ -30,6 +30,14 @@ def plan_tiles(seg: jnp.ndarray, n_segments: int, tile: int) -> TilePlan:
     seg: [P] int32 segment id per pair, -1 for inactive pairs.
     Static output size NT = P // tile + n_segments (worst case: every
     segment's remainder opens one extra tile).
+
+    Gather formulation: after the packed-key sort, tile t of segment s
+    covers sorted positions start_in_sorted[s] + (t - tile_start[s])*T
+    + j, so pair_ids is ONE [NT, T] gather of the sorted order — no [P]
+    rank/scatter passes (the round-4 scatter formulation measured
+    ~9 ms of the 2D bench map_test as ~12 small kernels; this is ~6 —
+    tools/plan_probe.py). Outputs are identical arrays (exactness gated
+    by tests/test_segmented_plan.py vs the scatter reference).
     """
     p = seg.shape[0]
     nt = p // tile + n_segments
@@ -42,15 +50,48 @@ def plan_tiles(seg: jnp.ndarray, n_segments: int, tile: int) -> TilePlan:
         # (key, iota) pair sort on TPU (1.6 vs 3.2 ms at 196k pairs)
         key = segc * p2 + jnp.arange(p, dtype=jnp.int32)
         skey = jnp.sort(key)
-        order = skey & (p2 - 1)
-        sorted_seg = skey >> p2.bit_length() - 1
+        order = (skey & (p2 - 1)).astype(jnp.int32)
     else:
-        order = jnp.argsort(segc, stable=True)
-        sorted_seg = segc[order]
+        order = jnp.argsort(segc, stable=True).astype(jnp.int32)
 
     counts = jnp.bincount(segc, length=n_segments + 1)[:n_segments]
     tiles_per = (counts + tile - 1) // tile
     tile_start = jnp.cumsum(tiles_per) - tiles_per          # first tile of seg
+    n_tiles = jnp.sum(tiles_per)
+    start_in_sorted = jnp.cumsum(counts) - counts
+
+    # tile t belongs to segment s iff tile_start[s] <= t < tile_start[s]+tiles_per[s]
+    tidx = jnp.arange(nt)
+    seg_of_tile = jnp.searchsorted(jnp.cumsum(tiles_per), tidx, side='right')
+    seg_of_tile = jnp.where(tidx < n_tiles, seg_of_tile, -1).astype(jnp.int32)
+
+    sot_c = jnp.clip(seg_of_tile, 0, n_segments - 1)
+    local = (tidx - tile_start[sot_c]) * tile               # [NT]
+    base = start_in_sorted[sot_c] + local
+    j = jnp.arange(tile)
+    pos = base[:, None] + j[None, :]                        # [NT, T]
+    within = ((local[:, None] + j[None, :] < counts[sot_c][:, None])
+              & (seg_of_tile >= 0)[:, None])
+    pair_ids = jnp.where(within, order[jnp.clip(pos, 0, p - 1)], -1)
+    return TilePlan(pair_ids=pair_ids, tile_seg=seg_of_tile,
+                    n_tiles=n_tiles)
+
+
+def _plan_tiles_scatter_ref(seg: jnp.ndarray, n_segments: int,
+                            tile: int) -> TilePlan:
+    """Round-4 scatter formulation of plan_tiles, kept ONLY as the
+    test oracle for the gather formulation's exact equality
+    (tests/test_segmented_plan.py)."""
+    p = seg.shape[0]
+    nt = p // tile + n_segments
+    valid = seg >= 0
+    segc = jnp.where(valid, seg, n_segments).astype(jnp.int32)
+    order = jnp.argsort(segc, stable=True)
+    sorted_seg = segc[order]
+
+    counts = jnp.bincount(segc, length=n_segments + 1)[:n_segments]
+    tiles_per = (counts + tile - 1) // tile
+    tile_start = jnp.cumsum(tiles_per) - tiles_per
     n_tiles = jnp.sum(tiles_per)
 
     start_in_sorted = jnp.cumsum(counts) - counts
@@ -63,7 +104,6 @@ def plan_tiles(seg: jnp.ndarray, n_segments: int, tile: int) -> TilePlan:
     pair_ids = pair_ids.at[padded_pos].set(order.astype(jnp.int32))
     pair_ids = pair_ids[:-1].reshape(nt, tile)
 
-    # tile t belongs to segment s iff tile_start[s] <= t < tile_start[s]+tiles_per[s]
     tidx = jnp.arange(nt)
     seg_of_tile = jnp.searchsorted(jnp.cumsum(tiles_per), tidx, side='right')
     seg_of_tile = jnp.where(tidx < n_tiles, seg_of_tile, -1).astype(jnp.int32)
