@@ -520,13 +520,14 @@ def _retrain_store(m) -> None:
 def _default_buckets(mcap: int) -> tuple:
     """Support-size buckets (ascending, last == capacity).
 
-    The 3/4 bucket matters on TPU, where the single-dispatch rule picks
-    the smallest bucket covering the frame's max support count: the 2D
-    demo sequence peaks at 66-75 of 128 every mid/late frame (measured
-    round 5), which the (1/4, 1/2, 1) set rounds all the way up to full
-    capacity — (96/128)^3 = 0.42x the fit FLOPs recovered for free."""
-    cand = sorted({max(16, mcap // 4), max(16, mcap // 2),
-                   max(16, 3 * mcap // 4), mcap})
+    A 3/4 bucket was tried in round 5 (the 2D demo's per-frame max
+    support is 66-75 of 128, so the single-dispatch TPU rule always
+    rounds up to full capacity) and MEASURED SLOWER: (1+d)*3/4*mcap is
+    not 128-lane-aligned for either dim (2D: 288), and the sub-capacity
+    factor refresh pays the _embed_linv scatter that the full size
+    skips — steady epilogue 8.0 -> 11.5 ms. The fit is latency-bound,
+    not FLOP-bound, so the (mb/M)^3 FLOP saving buys nothing back."""
+    cand = sorted({max(16, mcap // 4), max(16, mcap // 2), mcap})
     return tuple(b for b in cand if b <= mcap)
 
 

@@ -837,22 +837,24 @@ def _eval_pairs(store: ClusterStore, linv_buf: jnp.ndarray,
             gf_c.astype(q.dtype), cvalid.astype(q.dtype), qt, d=d,
             scale=scale, val_const=val_const, grad_const=grad_const,
             bf16=pallas_bf16)
-        # scatter tile results back to pair order (dummy-row drop)
+        # ONE packed scatter back to pair order (dummy-row drop): four
+        # separate [P]-target scatters measured as 4 distinct kernels;
+        # packing [f, vf, g, vg] into one [NT, T, 2+2D] tile tensor
+        # makes it one (the unpack slices fuse into the blend)
         mask = (plan.pair_ids >= 0) & (plan.tile_seg[:, None] >= 0)
         tgt = jnp.where(mask, plan.pair_ids, npair).reshape(-1)
-
-        def scat(init, val):
-            ext = jnp.concatenate(
-                [init, jnp.zeros((1,) + init.shape[1:], init.dtype)])
-            flat = val.reshape((-1,) + val.shape[2:])
-            return ext.at[tgt].set(flat, mode='drop')[:-1]
-
-        f_p = scat(jnp.zeros((npair,), q.dtype), f_t)
-        vf_p = scat(jnp.full((npair,), jnp.inf, q.dtype), vf_t)
-        g_p = scat(jnp.zeros((npair, d), q.dtype),
-                   jnp.swapaxes(g_t, -1, -2))
-        vg_p = scat(jnp.zeros((npair, d), q.dtype),
-                    jnp.swapaxes(vg_t, -1, -2))
+        packed_t = jnp.concatenate(
+            [f_t[:, None, :], vf_t[:, None, :], g_t, vg_t],
+            axis=1)                                       # [NT, 2+2D, T]
+        packed_t = jnp.swapaxes(packed_t, -1, -2)         # [NT, T, 2+2D]
+        init = jnp.zeros((npair + 1, 2 + 2 * d), q.dtype)
+        init = init.at[:, 1].set(jnp.inf)                 # vf default
+        packed = init.at[tgt].set(
+            packed_t.reshape(-1, 2 + 2 * d), mode='drop')[:-1]
+        f_p = packed[:, 0]
+        vf_p = packed[:, 1]
+        g_p = packed[:, 2:2 + d]
+        vg_p = packed[:, 2 + d:]
     else:
         def eval_tile(segs, pids):
             qt = q[jnp.clip(pids, 0) // div]                  # [G, T, D]

@@ -314,3 +314,31 @@ def test_blocked_base_small_gpou_equivalence(monkeypatch):
     np.testing.assert_allclose(l_bl, l_ref, rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(a_bl, a_ref, rtol=1e-3, atol=1e-3)
     np.testing.assert_allclose(w_bl, w_ref, rtol=1e-3, atol=1e-3)
+
+
+def test_map_test_pallas_path_matches_xla(monkeypatch):
+    """The full map_test Pallas branch — tile plan, in-kernel skip of
+    padding tiles, and the ONE packed result scatter — must match the
+    XLA path end-to-end (interpret mode on CPU; covers the packed
+    [f, vf, g, vg] scatter layout, not just the kernel)."""
+    import functools
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gpismap_tpu.models import cluster
+    from gpismap_tpu.ops import pallas_tile
+    from test_parallel import _circle_map
+
+    monkeypatch.setattr(
+        pallas_tile, "tile_eval_pallas",
+        functools.partial(pallas_tile.tile_eval_pallas, interpret=True))
+
+    store, grid, kw = _circle_map()
+    rng = np.random.default_rng(11)
+    q = jnp.asarray(rng.uniform(-3, 3, (256, 2)), jnp.float32)
+    ref = cluster.map_test(store, grid, q, use_pallas=False, **kw)
+    out = cluster.map_test(store, grid, q, use_pallas=True, **kw)
+    for a, b, name in zip(ref[:4], out[:4], ("f", "g", "vf", "vg")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5, err_msg=name)
