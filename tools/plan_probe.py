@@ -157,6 +157,21 @@ def main():
         _timeit(lambda s, g, q, f: run(s, g, q, factors=f,
                                        two_phase=True),
                 (m.store, m.grid, q, factors), args.reps) * 1e3, 3)
+
+    # tile-size sensitivity: T=256 halves the Pallas grid steps (per-tile
+    # fixed cost) at the price of more per-cell remainder padding
+    kw256 = dict(kw, tile=256)
+    run256 = functools.partial(
+        cluster.map_test, use_pallas=m._use_pallas(), nbrs=nbrs,
+        nbr_dense=m._nbr_dense, **kw256)
+    r128 = jax.device_get(run(m.store, m.grid, q, factors=factors)[:4])
+    r256 = jax.device_get(run256(m.store, m.grid, q, factors=factors)[:4])
+    out["tile256_equal"] = bool(all(
+        np.allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+        for a, b in zip(r128, r256)))
+    out["map_test_tile256_ms"] = round(
+        _timeit(lambda s, g, q, f: run256(s, g, q, factors=f),
+                (m.store, m.grid, q, factors), args.reps) * 1e3, 3)
     print(json.dumps(out))
     return 0
 
