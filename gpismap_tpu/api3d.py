@@ -145,7 +145,8 @@ class GPisMap3D(_MeshMixin):
         # the sharded axes are re-evaluated nodes, retrain cells, queries
         prep, obs, nm = mapper3d.frame_compute_3d(
             self._dev(depth), self._dev(tr), self._dev(rot), self.cam,
-            self.p, self.op, nv_cap=self._obs_nv_cap(nv))
+            self.p, self.op, nv_cap=self._obs_nv_cap(nv),
+            obs_c_cap=self._obs_cell_cap(self._last_valid_mask))
         # ONE blocking pull for everything update() needs on host (the
         # remote-TPU round trip is ~110 ms; see CLAUDE.md)
         nm = jax.device_get(nm)
@@ -189,7 +190,36 @@ class GPisMap3D(_MeshMixin):
         z = depth[::skip, ::skip][:mrow, :ncol].astype(np.float32)
         valid = (z > self.p.min_range) & (z < self.p.max_range)
         rmax = float(np.max(np.where(valid, z, 0.0)))
+        self._last_valid_mask = valid
         return int(valid.sum()), rmax
+
+    def _obs_cell_cap(self, valid: np.ndarray):
+        """pow2 bucket (floor 256) of the number of NONEMPTY obs cells —
+        cells whose (overlapping) pixel window contains a range-gated
+        pixel (the exact `trained` predicate of fit_obsgp2d, computed
+        from the static partition + the host valid mask via an integral
+        image). Gates the compacted fit; same knob/defaults as the
+        compacted probe sweep (GPISMAP_OBS_COMPACT)."""
+        import os
+        from .models import obsgp
+        v = os.environ.get("GPISMAP_OBS_COMPACT", "auto")
+        if v in ("0", "off"):
+            return None
+        if v not in ("1", "on") and jax.default_backend() != "tpu":
+            return None
+        m, n = valid.shape
+        ii = np.zeros((m + 1, n + 1), np.int64)
+        ii[1:, 1:] = np.cumsum(np.cumsum(valid, 0), 1)
+        gs, ov = self.op.group_size, self.op.overlap
+        _, i0s, i1s, _ = obsgp.partition_1axis(m, gs, ov)
+        _, j0s, j1s, _ = obsgp.partition_1axis(n, gs, ov)
+        i0 = np.asarray(i0s)[:, None]
+        i1 = np.asarray(i1s)[:, None] + 1
+        j0 = np.asarray(j0s)[None, :]
+        j1 = np.asarray(j1s)[None, :] + 1
+        cnt = ii[i1, j1] - ii[i0, j1] - ii[i1, j0] + ii[i0, j0]
+        nonempty = int((cnt > 0).sum())
+        return max(256, _next_pow2(max(nonempty, 1)))
 
     def update_batch(self, frames) -> None:
         """Pipelined multi-frame ingestion (see GPisMap2D.update_batch).
@@ -227,7 +257,8 @@ class GPisMap3D(_MeshMixin):
             dep_d, tr_d, rot_d = self._dev_batch((depth, tr, rot))
             prep, obs, nm = mapper3d.frame_compute_3d(
                 dep_d, tr_d, rot_d, self.cam, self.p, self.op,
-                nv_cap=self._obs_nv_cap(nv))
+                nv_cap=self._obs_nv_cap(nv),
+                obs_c_cap=self._obs_cell_cap(self._last_valid_mask))
             pend.append((tr, rot, rmax, obs, nm))
 
         for item in pend:

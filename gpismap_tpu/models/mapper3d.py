@@ -674,22 +674,28 @@ def newmeas_3d(obs: obsgp.ObsGP2DState, prep: Preproc3D, rot: jnp.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=("cam", "mp", "op", "chunk",
-                                             "blocked", "nv_cap"))
+                                             "blocked", "nv_cap",
+                                             "obs_c_cap"))
 def frame_compute_3d(depth: jnp.ndarray, tr: jnp.ndarray, rot: jnp.ndarray,
                      cam: CameraParam, mp: MapperParam, op: ObsGPParam,
                      chunk: int = 4096, blocked: bool = None,
-                     nv_cap: int = None):
+                     nv_cap: int = None, obs_c_cap: int = None):
     """Fused tree-independent frame stages (see mapper2d.frame_compute_2d).
 
     nv_cap: pow2 bucket of the frame's valid-pixel count (host-known,
     api3d._host_gate) — routes the probe sweep through the compacted
     gather path (newmeas_3d nv_cap docstring). None keeps the dense
     blocked/gather sweeps.
+
+    obs_c_cap: pow2 bucket of the frame's NONEMPTY obs-cell count
+    (host-known, api3d._obs_cell_cap) — compacts the ObsGP2D fit's
+    Cholesky pipeline to the cells that actually train
+    (obsgp.fit_obsgp2d c_cap docstring).
     """
     if blocked is None:
         blocked = _obs_blocked_default()
     prep = preprocess_3d(depth, tr, rot, cam, mp)
-    obs = obsgp.fit_obsgp2d(prep.v, prep.u, prep.zinv, op)
+    obs = obsgp.fit_obsgp2d(prep.v, prep.u, prep.zinv, op, c_cap=obs_c_cap)
     nm = newmeas_3d(obs, prep, rot, mp, op, chunk, cam=cam,
                     blocked=blocked, nv_cap=nv_cap)
     return prep, obs, nm

@@ -171,7 +171,8 @@ def partition_1axis(n: int, gs: int, ov: int):
 
 
 def fit_obsgp2d(v_coords: jnp.ndarray, u_coords: jnp.ndarray,
-                f: jnp.ndarray, param: ObsGPParam) -> ObsGP2DState:
+                f: jnp.ndarray, param: ObsGPParam,
+                c_cap: int = None) -> ObsGP2DState:
     """Train the partitioned 2D observation GP (ObsGP.cpp:280-342).
 
     v_coords: [NI] row ray coordinates (v = (row - cy)/fy, ascending)
@@ -180,6 +181,15 @@ def fit_obsgp2d(v_coords: jnp.ndarray, u_coords: jnp.ndarray,
        pixels, ObsGP.cpp:304)
 
     The partition is static (camera geometry); pixel validity is data.
+
+    c_cap (static): compact the NON-EMPTY cells before the batched
+    Cholesky pipeline and scatter alpha/L^-1 back into the full cell
+    layout. The bundled 3D frames train ~150 of 3072 cells, and the fit
+    scales with batch (measured 7.0 ms at 3072 vs 1.7 at 512 on the
+    v5e), so fitting empty masked-identity systems is the dominant
+    waste. Exact per trained cell (each cell's system is independent);
+    callers pass the host-known nonempty-cell count's pow2 bucket
+    (api3d._obs_cell_cap). None = fit every cell (the CPU/golden path).
     """
     ni, nj = int(v_coords.shape[0]), int(u_coords.shape[0])
     gs, ov = param.group_size, param.overlap
@@ -214,13 +224,28 @@ def fit_obsgp2d(v_coords: jnp.ndarray, u_coords: jnp.ndarray,
     fcell = fv.reshape(c, m)
     vmask = pix_ok.reshape(c, m)
 
-    st = gp.fit_gpou(x, fcell, vmask, param.scale, param.noise)
-    linv = gp.linv_from_chol(st.l)
+    trained = jnp.any(vmask, axis=-1)
+    if c_cap is not None and c_cap < c:
+        order = jnp.argsort(~trained, stable=True)       # nonempty first
+        sel = order[:c_cap]
+        selok = trained[sel]
+        st_c = gp.fit_gpou(x[sel], fcell[sel], vmask[sel], param.scale,
+                           param.noise)
+        linv_c = gp.linv_from_chol(st_c.l)
+        tgt = jnp.where(selok, sel, c)
+        alpha = jnp.zeros((c + 1, m), x.dtype).at[tgt].set(
+            st_c.alpha, mode='drop')[:-1]
+        linv = jnp.zeros((c + 1, m, m), x.dtype).at[tgt].set(
+            linv_c, mode='drop')[:-1]
+    else:
+        st = gp.fit_gpou(x, fcell, vmask, param.scale, param.noise)
+        alpha = st.alpha
+        linv = gp.linv_from_chol(st.l)
 
     val_i = jnp.concatenate([v_coords[:1], v_coords[jnp.asarray(bnd_i)]])
     val_j = jnp.concatenate([u_coords[:1], u_coords[jnp.asarray(bnd_j)]])
-    return ObsGP2DState(x=x, valid=vmask, alpha=st.alpha, linv=linv,
-                        trained=jnp.any(vmask, axis=-1),
+    return ObsGP2DState(x=x, valid=vmask, alpha=alpha, linv=linv,
+                        trained=trained,
                         val_i=val_i, val_j=val_j)
 
 

@@ -305,3 +305,63 @@ def test_newmeas3d_compact_matches_gather():
     # (insert_ok False), never evaluated wrongly — verify the compacted
     # set is valid-first so a cap >= nv loses nothing
     assert nv <= nv_cap
+
+
+def test_fit_obsgp2d_compacted_matches_full():
+    """fit_obsgp2d(c_cap) must produce EXACTLY the full fit's alpha and
+    L^-1 on every trained cell (each cell's masked system is independent,
+    so compacting the Cholesky batch cannot change per-cell results),
+    and the identical trained mask. Also checks the host nonempty-cell
+    counter (api3d._obs_cell_cap's integral image) never undercounts."""
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    from gpismap_tpu import datasets
+    from gpismap_tpu.config import BIGBIRD_CAMS, MAPPER_3D, OBSGP_2D
+    from gpismap_tpu.models import mapper3d, obsgp
+
+    try:
+        fr = next(datasets.bigbird_frames())
+    except FileNotFoundError:
+        pytest.skip("bigbird data not available")
+    cam = BIGBIRD_CAMS[fr.cam_id - 1]
+    pose = np.asarray(fr.pose, np.float32).reshape(-1)
+    prep = mapper3d.preprocess_3d(
+        jnp.asarray(fr.depth, jnp.float32), jnp.asarray(pose[:3]),
+        jnp.asarray(pose[3:12].reshape(3, 3, order="F")), cam, MAPPER_3D)
+
+    full = obsgp.fit_obsgp2d(prep.v, prep.u, prep.zinv, OBSGP_2D)
+    ntr = int(np.asarray(full.trained).sum())
+    assert ntr > 50
+    c_cap = max(256, 1 << (ntr - 1).bit_length())
+    comp = obsgp.fit_obsgp2d(prep.v, prep.u, prep.zinv, OBSGP_2D,
+                             c_cap=c_cap)
+
+    tr = np.asarray(full.trained)
+    np.testing.assert_array_equal(tr, np.asarray(comp.trained))
+    np.testing.assert_array_equal(np.asarray(full.alpha)[tr],
+                                  np.asarray(comp.alpha)[tr])
+    np.testing.assert_array_equal(np.asarray(full.linv)[tr],
+                                  np.asarray(comp.linv)[tr])
+
+    # host cell counter covers the trained set
+    from gpismap_tpu.api3d import GPisMap3D
+    m = GPisMap3D()
+    m.set_camera(cam)
+    nv, _ = m._host_gate(fr.depth)
+    import os
+    os.environ["GPISMAP_OBS_COMPACT"] = "1"
+    try:
+        cap_host = m._obs_cell_cap(m._last_valid_mask)
+    finally:
+        del os.environ["GPISMAP_OBS_COMPACT"]
+    assert cap_host >= ntr
+
+    # end-to-end posteriors agree exactly at real query points
+    vu = jnp.asarray(np.random.default_rng(0).uniform(-0.3, 0.3, (512, 2)),
+                     jnp.float32)
+    mf, vf = obsgp.obsgp2d_test(full, vu, OBSGP_2D)
+    mc, vc = obsgp.obsgp2d_test(comp, vu, OBSGP_2D)
+    np.testing.assert_array_equal(np.asarray(mf), np.asarray(mc))
+    np.testing.assert_array_equal(np.asarray(vf), np.asarray(vc))
