@@ -416,16 +416,33 @@ class NeighborTable(NamedTuple):
 
     keys:  [T] sorted flat grid ids (int32-max padded); for the dense
            variant T == G and keys is arange (row = flat id, no search)
-    slot:  [T, K] candidate slot ids (-1 empty)
-    coord: [T, K, D] candidate integer cell coords
+    packed: [T, K] candidate entries, slot * W2 + window_rank (-1 empty)
+           where W2 = next pow2 of the window size (2*noff+1)^D. The
+           candidate's integer cell coord is NOT stored: it is
+           query_cell + window_offset[window_rank], recovered
+           arithmetically at query time (same integer sum the build
+           used, so the derived centers are bit-identical). Packing
+           halves the per-query gather traffic vs separate slot+coord
+           tables (the candidates stage was gather-bound).
     n_overflow: [] int32 — candidates dropped because a cell had more
            than K trained neighbors (never silent)
     """
 
     keys: jnp.ndarray
-    slot: jnp.ndarray
-    coord: jnp.ndarray
+    packed: jnp.ndarray
     n_overflow: jnp.ndarray
+
+
+def _rank_to_offset(rank: jnp.ndarray, noff: int, d: int) -> jnp.ndarray:
+    """Window rank (ij enumeration of (-noff..noff)^D) -> offset [..., D].
+
+    Pure integer div/mod by compile-time constants — no table gather."""
+    side = 2 * noff + 1
+    outs = []
+    for a in range(d):
+        digit = (rank // (side ** (d - 1 - a))) % side
+        outs.append(digit - noff)
+    return jnp.stack(outs, axis=-1)
 
 
 @functools.partial(jax.jit, static_argnames=("grid_half", "noff", "k_cap",
@@ -465,9 +482,8 @@ def build_neighbor_table(coords: jnp.ndarray, slots: jnp.ndarray,
     order = jnp.argsort(key)
     skey = key[order]
     sg = jnp.where(skey < big, skey // w, big)              # flat ids
-    e_slot = jnp.broadcast_to(slots[:, None], (c, w)).reshape(-1)[order]
-    e_coord = jnp.broadcast_to(coords[:, None, :],
-                               (c, w, d)).reshape(-1, d)[order]
+    w2 = 1 << (w - 1).bit_length()
+    e_packed = (slots[:, None] * w2 + o_rank).reshape(-1)[order]
 
     n = c * w
     if dense:
@@ -491,24 +507,26 @@ def build_neighbor_table(coords: jnp.ndarray, slots: jnp.ndarray,
     n_overflow = jnp.sum((sg < big) & ~keep).astype(jnp.int32)
     tgt = jnp.where(keep, row * k_cap + rank, t * k_cap)
 
-    slot_tbl = jnp.full((t * k_cap + 1,), -1, jnp.int32)
-    slot_tbl = slot_tbl.at[tgt].set(e_slot, mode='drop')
-    slot_tbl = slot_tbl[:-1].reshape(t, k_cap)
-    coord_tbl = jnp.zeros((t * k_cap + 1, d), jnp.int32)
-    coord_tbl = coord_tbl.at[tgt].set(e_coord, mode='drop')
-    coord_tbl = coord_tbl[:-1].reshape(t, k_cap, d)
-    return NeighborTable(keys=keys, slot=slot_tbl, coord=coord_tbl,
-                         n_overflow=n_overflow)
+    ptbl = jnp.full((t * k_cap + 1,), -1, jnp.int32)
+    ptbl = ptbl.at[tgt].set(e_packed, mode='drop')
+    ptbl = ptbl[:-1].reshape(t, k_cap)
+    return NeighborTable(keys=keys, packed=ptbl, n_overflow=n_overflow)
 
 
 def _table_candidates(nbrs: NeighborTable, q: jnp.ndarray, cell_size,
-                      grid_half: int, search_half, dense: bool):
+                      grid_half: int, noff: int, search_half,
+                      dense: bool):
     """_grid_candidates from the precomputed table: one row gather per
     query; identical (slots, sqd, ok) semantics and candidate order
-    (trained is baked into the table)."""
+    (trained is baked into the table). Candidate cell coords are
+    recovered from the packed window rank (query cell + offset — the
+    same integer sum the build keyed on, so centers are bit-identical
+    to the stored-coord formulation)."""
     d = q.shape[-1]
     side = 2 * grid_half
-    t, k_cap = nbrs.slot.shape[:2]
+    t, k_cap = nbrs.packed.shape[:2]
+    w = (2 * noff + 1) ** d
+    w2 = 1 << (w - 1).bit_length()
     k0 = jnp.floor(q / cell_size).astype(jnp.int32)
     gidx = k0 + grid_half
     inb = jnp.all((gidx >= 0) & (gidx < side), axis=-1)
@@ -525,8 +543,9 @@ def _table_candidates(nbrs: NeighborTable, q: jnp.ndarray, cell_size,
         hit = inb & (nbrs.keys[pos] == gflat)
         row = pos
     rowc = jnp.clip(row, 0, t - 1)
-    slots = nbrs.slot[rowc]                                 # [Q, K] row
-    coords = nbrs.coord[rowc]                               # [Q, K, D]
+    packed = nbrs.packed[rowc]                              # [Q, K] row
+    slots = packed >> (w2.bit_length() - 1)
+    coords = k0[:, None, :] + _rank_to_offset(packed & (w2 - 1), noff, d)
     centers = (coords.astype(q.dtype) + 0.5) * cell_size
     diff = centers - q[:, None, :]
     sqd = jnp.sum(diff * diff, axis=-1)
@@ -537,7 +556,8 @@ def _table_candidates(nbrs: NeighborTable, q: jnp.ndarray, cell_size,
 
 
 def _candidates_top3(nbrs: NeighborTable, q: jnp.ndarray, cell_size,
-                     grid_half: int, search_half, dense: bool):
+                     grid_half: int, noff: int, search_half,
+                     dense: bool):
     """_table_candidates + 3-nearest selection fused, in a transposed
     [K, Q] layout.
 
@@ -553,7 +573,9 @@ def _candidates_top3(nbrs: NeighborTable, q: jnp.ndarray, cell_size,
     """
     d = q.shape[-1]
     side = 2 * grid_half
-    t, k_cap = nbrs.slot.shape[:2]
+    t, k_cap = nbrs.packed.shape[:2]
+    w = (2 * noff + 1) ** d
+    w2 = 1 << (w - 1).bit_length()
     k0 = jnp.floor(q / cell_size).astype(jnp.int32)
     gidx = k0 + grid_half
     inb = jnp.all((gidx >= 0) & (gidx < side), axis=-1)
@@ -570,8 +592,11 @@ def _candidates_top3(nbrs: NeighborTable, q: jnp.ndarray, cell_size,
         hit = inb & (nbrs.keys[pos] == gflat)
         row = pos
     rowc = jnp.clip(row, 0, t - 1)
-    slots_t = nbrs.slot[rowc].T                       # [K, Q]
-    coord_t = jnp.moveaxis(nbrs.coord[rowc], 0, -1)   # [K, D, Q]
+    packed_t = nbrs.packed[rowc].T                    # [K, Q] ONE gather
+    slots_t = packed_t >> (w2.bit_length() - 1)
+    off_t = jnp.moveaxis(
+        _rank_to_offset(packed_t & (w2 - 1), noff, d), -1, 1)  # [K, D, Q]
+    coord_t = k0.T[None] + off_t                      # [K, D, Q]
     centers_t = (coord_t.astype(q.dtype) + 0.5) * cell_size
     diff_t = centers_t - q.T[None]                    # [K, D, Q]
     sqd_t = jnp.sum(diff_t * diff_t, axis=1)          # [K, Q]
@@ -922,7 +947,7 @@ def map_test(store: ClusterStore, grid: jnp.ndarray, q: jnp.ndarray,
         # layout + 3-pass argmin measured 8.5 ms of the 65k-query 2D
         # batch vs ~1.5 fused — tools/plan_probe.py)
         top_slot, top_ok, n_cand = _candidates_top3(
-            nbrs, q, cell_size, grid_half, search_half, nbr_dense)
+            nbrs, q, cell_size, grid_half, noff, search_half, nbr_dense)
     else:
         slots, sqd, ok = _grid_candidates(grid, q, cell_size, grid_half,
                                           noff, search_half,

@@ -293,18 +293,22 @@ def test_candidates_top3_fused_matches_two_stage():
     rng = np.random.default_rng(3)
     t, k, d, nq = 64, 12, 2, 513
     grid_half = 8
+    noff = 3
+    w = (2 * noff + 1) ** d
+    w2 = 1 << (w - 1).bit_length()
     keys = np.arange(t, dtype=np.int32)          # dense variant
     slot = rng.integers(-1, 30, (t, k)).astype(np.int32)
-    coord = rng.integers(-grid_half, grid_half, (t, k, d)).astype(np.int32)
+    rank = rng.integers(0, w, (t, k)).astype(np.int32)
+    packed = np.where(slot >= 0, slot * w2 + rank, -1).astype(np.int32)
     nbrs = cluster.NeighborTable(
-        keys=jnp.asarray(keys), slot=jnp.asarray(slot),
-        coord=jnp.asarray(coord), n_overflow=jnp.int32(0))
+        keys=jnp.asarray(keys), packed=jnp.asarray(packed),
+        n_overflow=jnp.int32(0))
     cell = 1.0
     q = np.round(rng.uniform(-7, 7, (nq, d))).astype(np.float32) + 0.5
     q = jnp.asarray(q)   # lattice-ish points force exact sqd ties
 
     slots, sqd, ok = cluster._table_candidates(nbrs, q, cell, grid_half,
-                                               3.0, True)
+                                               noff, 3.0, True)
     n_cand = jnp.sum(ok, -1)
     sqd_m = jnp.where(ok, sqd, jnp.inf)
     cols = jnp.arange(k, dtype=jnp.int32)
@@ -320,7 +324,7 @@ def test_candidates_top3_fused_matches_two_stage():
               & (jnp.arange(3)[None] < n_cand[:, None]))
 
     got_slot, got_ok, got_n = cluster._candidates_top3(
-        nbrs, q, cell, grid_half, 3.0, True)
+        nbrs, q, cell, grid_half, noff, 3.0, True)
     np.testing.assert_array_equal(np.asarray(got_n), np.asarray(n_cand))
     np.testing.assert_array_equal(np.asarray(got_ok), np.asarray(ref_ok))
     np.testing.assert_array_equal(np.asarray(got_slot)[np.asarray(ref_ok)],

@@ -70,7 +70,7 @@ def main():
     @jax.jit
     def cands(nbrs, q):
         return cluster._table_candidates(nbrs, q, kw["cell_size"],
-                                         kw["grid_half"],
+                                         kw["grid_half"], kw["noff"],
                                          kw["search_half"], m._nbr_dense)
 
     out["candidates_ms"] = round(_timeit(cands, (nbrs, q), args.reps) * 1e3,
@@ -128,7 +128,7 @@ def main():
         @jax.jit
         def fused_t(nbrs, q):
             return cluster._candidates_top3(
-                nbrs, q, kw["cell_size"], kw["grid_half"],
+                nbrs, q, kw["cell_size"], kw["grid_half"], kw["noff"],
                 kw["search_half"], m._nbr_dense)
 
         ts, to, nc = fused_t(nbrs, q)

@@ -64,8 +64,8 @@ def build_state(path):
     blob = {
         "grid": np.asarray(m.grid), "linv": np.asarray(linv_buf),
         "uniq": np.asarray(uniq), "xtest": xtest,
-        "nbr_keys": np.asarray(nbrs.keys), "nbr_slot": np.asarray(nbrs.slot),
-        "nbr_coord": np.asarray(nbrs.coord),
+        "nbr_keys": np.asarray(nbrs.keys),
+        "nbr_packed": np.asarray(nbrs.packed),
         "nbr_dense": np.asarray(m._nbr_dense),
         "kw_num": np.asarray([m.cell_size, m._search_half,
                               m.p.map_scale_param, 1.01,
@@ -107,8 +107,8 @@ def main():
     store = cluster.ClusterStore(*[
         jnp.asarray(blob[f"store_{f}"]) for f in cluster.ClusterStore._fields])
     nbrs = cluster.NeighborTable(
-        keys=jnp.asarray(blob["nbr_keys"]), slot=jnp.asarray(blob["nbr_slot"]),
-        coord=jnp.asarray(blob["nbr_coord"]),
+        keys=jnp.asarray(blob["nbr_keys"]),
+        packed=jnp.asarray(blob["nbr_packed"]),
         n_overflow=jnp.asarray(0, jnp.int32))
     nbr_dense = bool(blob["nbr_dense"])
     linv_buf = jnp.asarray(blob["linv"])
@@ -129,8 +129,8 @@ def main():
     # --- 1. candidate row gather -------------------------------------
     @jax.jit
     def tbl_gather(q_, nbrs_):
-        return cluster._table_candidates(nbrs_, q_, cell, grid_half, sh,
-                                         nbr_dense)
+        return cluster._table_candidates(nbrs_, q_, cell, grid_half,
+                                         noff, sh, nbr_dense)
 
     t, cand = _timed(tbl_gather, args.reps, q, nbrs)
     res["tbl_gather_ms"] = round(t * 1e3, 2)
