@@ -101,6 +101,8 @@ def main():
 
     if os.path.exists(args.state):
         blob = dict(np.load(args.state))
+        if "nbr_packed" not in blob:      # stale pre-packed-table cache
+            blob = build_state(args.state)
     else:
         blob = build_state(args.state)
 
