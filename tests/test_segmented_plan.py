@@ -47,3 +47,20 @@ def test_plan_tiles_bench_shape_smoke():
     rng = np.random.default_rng(1)
     seg = rng.integers(-1, 400, 3 * 4096)
     _check(seg, 512, 128)
+
+
+def test_plan_tiles_unpacked_fallback():
+    """(S+1)*P2 >= 2^31 forces the argsort+bincount fallback (the
+    packed int32 key would overflow); it must produce the same plan."""
+    rng = np.random.default_rng(2)
+    ns = 40_000                       # 40001 * 65536 > 2^31
+    p = 33_000                        # P2 = 65536
+    seg = rng.integers(-1, 200, p)    # few live segments, huge id space
+    a = segmented.plan_tiles(jnp.asarray(seg, jnp.int32), ns, 128)
+    b = segmented._plan_tiles_scatter_ref(jnp.asarray(seg, jnp.int32),
+                                          ns, 128)
+    np.testing.assert_array_equal(np.asarray(a.pair_ids),
+                                  np.asarray(b.pair_ids))
+    np.testing.assert_array_equal(np.asarray(a.tile_seg),
+                                  np.asarray(b.tile_seg))
+    assert int(a.n_tiles) == int(b.n_tiles)
