@@ -483,6 +483,9 @@ def build_neighbor_table(coords: jnp.ndarray, slots: jnp.ndarray,
     skey = key[order]
     sg = jnp.where(skey < big, skey // w, big)              # flat ids
     w2 = 1 << (w - 1).bit_length()
+    # packed entries are slot * W2 + rank in int32: static capacity guard
+    # (max_cells 4096, W2 <= 64 -> 2^18; fires only on absurd configs)
+    assert trained.shape[0] * w2 < 2 ** 31, "slot*W2 overflows int32"
     e_packed = (slots[:, None] * w2 + o_rank).reshape(-1)[order]
 
     n = c * w
