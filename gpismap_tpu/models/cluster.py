@@ -807,16 +807,18 @@ class TestInfo(NamedTuple):
 
 
 def _eval_pairs(store: ClusterStore, linv_buf: jnp.ndarray,
-                slot_of: jnp.ndarray, pair_comp: jnp.ndarray,
+                slot_of: jnp.ndarray, plan: segmented.TilePlan,
+                npair: int,
                 q: jnp.ndarray, div: int, scale, val_const, grad_const,
                 tile: int, max_active: int, use_pallas: bool,
                 vma_axes: tuple, remat: bool = False,
                 flat_eval: bool = False, pallas_bf16: bool = False):
-    """Plan + evaluate one pair set against the factor buffer.
+    """Evaluate one planned pair set against the factor buffer.
 
-    pair_comp: [P] compact cell id per pair (-1 skipped); pair p belongs
-    to query p // div. Returns (f [P], g [P, D], vf [P] (inf where not
-    evaluated), vg [P, D]).
+    plan: single-cell tile schedule over npair pairs (built by
+    segmented.plan_tiles_for_slots); pair p belongs to query p // div.
+    Returns (f [P], g [P, D], vf [P] (inf where not evaluated),
+    vg [P, D]).
 
     flat_eval evaluates ALL tiles in one batched op instead of the
     chunked lax.scan — a much simpler program whose transpose is plain
@@ -825,9 +827,7 @@ def _eval_pairs(store: ClusterStore, linv_buf: jnp.ndarray,
     Costs compute on the static padding tiles, so keep it off for the
     big forward query batches.
     """
-    npair = pair_comp.shape[0]
     d = q.shape[-1]
-    plan = segmented.plan_tiles(pair_comp, max_active, tile)
 
     if flat_eval and not use_pallas:
         qt = q[jnp.clip(plan.pair_ids, 0) // div]       # [NT, T, D]
@@ -992,25 +992,19 @@ def map_test(store: ClusterStore, grid: jnp.ndarray, q: jnp.ndarray,
         linv_buf, uniq = factors
         slot_of = jnp.where(uniq < big, uniq, -1).astype(jnp.int32)
 
-    # slot -> compact id via a dense LUT: ONE gather per pair instead of
-    # a log(max_active)-step binary search (searchsorted measured 19 ms
-    # for the 196k-pair 2D bench batch, the LUT gather ~1 ms)
-    lut = jnp.full((max_cells + 1,), -1, jnp.int32)
-    lut = lut.at[jnp.where(uniq < big, uniq, max_cells)].set(
-        jnp.arange(max_active, dtype=jnp.int32), mode='drop')
-
-    def compact(seg):
-        """[P] slot ids -> (compact ids [-1 skip], n_dropped).
-
-        The in-range guard keeps an out-of-range slot id (>= max_cells)
-        from aliasing onto a real cell's compact id through the clip —
-        unreachable with well-formed stores, but the old searchsorted
-        path verified membership exactly, so keep that property."""
-        in_range = (seg >= 0) & (seg < max_cells)
-        comp = lut[jnp.clip(seg, 0, max_cells - 1)]
-        comp = jnp.where(in_range, comp, -1)
-        n_drop = jnp.sum((seg >= 0) & (comp < 0)).astype(jnp.int32)
-        return comp, n_drop
+    def plan_for(seg):
+        """[P] raw slot ids -> (tile plan, n_dropped, n_in_plan): the
+        plan is built DIRECTLY in compact-segment space off the sorted
+        slot keys (segmented.plan_tiles_for_slots) — no per-pair
+        slot->compact gather (the dense-LUT translation this replaced
+        measured 1.4 ms of the 2D bench map_test; the original
+        searchsorted-per-pair form 19 ms). Slots absent from uniq (or
+        out of [0, max_cells)) are dropped and counted, exactly the old
+        compaction's semantics."""
+        plan, n_in = segmented.plan_tiles_for_slots(
+            seg, uniq, max_cells, max_active, tile)
+        n_drop = (jnp.sum(seg >= 0) - n_in).astype(jnp.int32)
+        return plan, n_drop, n_in
 
     run = functools.partial(
         _eval_pairs, store, linv_buf, slot_of, q=q, scale=scale,
@@ -1020,8 +1014,8 @@ def map_test(store: ClusterStore, grid: jnp.ndarray, q: jnp.ndarray,
 
     if two_phase:
         # ---- phase 1: nearest-cell pairs only ----
-        pc1, nd1 = compact(seg3[:, 0])
-        f0, g0, vf0, vg0 = run(pair_comp=pc1, div=1)
+        plan1, nd1, np1 = plan_for(seg3[:, 0])
+        f0, g0, vf0, vg0 = run(plan=plan1, npair=nq, div=1)
         # the reference's blend gate (GPisMap.cpp:706): ranks 1-2 are
         # only consulted when the nearest evaluation is uncertain. An
         # unevaluated/dropped rank-0 (vf0 == inf) counts as uncertain.
@@ -1030,8 +1024,8 @@ def map_test(store: ClusterStore, grid: jnp.ndarray, q: jnp.ndarray,
         n_phase2 = jnp.sum(uncertain).astype(jnp.int32)
         # ---- phase 2: ranks 1-2 of uncertain queries ----
         seg12 = jnp.where(uncertain[:, None], seg3[:, 1:], -1)
-        pc2, nd2 = compact(seg12.reshape(-1))
-        f12, g12, vf12, vg12 = run(pair_comp=pc2, div=2)
+        plan2, nd2, np2 = plan_for(seg12.reshape(-1))
+        f12, g12, vf12, vg12 = run(plan=plan2, npair=2 * nq, div=2)
         f3 = jnp.concatenate([f0[:, None], f12.reshape(nq, 2)], axis=1)
         g3 = jnp.concatenate([g0[:, None], g12.reshape(nq, 2, d)], axis=1)
         vf3 = jnp.concatenate([vf0[:, None], vf12.reshape(nq, 2)], axis=1)
@@ -1039,12 +1033,11 @@ def map_test(store: ClusterStore, grid: jnp.ndarray, q: jnp.ndarray,
                               axis=1)
         vf3 = jnp.where(top_ok, vf3, jnp.inf)
         n_dropped = nd1 + nd2
-        n_pairs = (jnp.sum(pc1 >= 0) + jnp.sum(pc2 >= 0)).astype(jnp.int32)
+        n_pairs = (np1 + np2).astype(jnp.int32)
     else:
-        pair_comp, n_dropped = compact(seg3.reshape(-1))
-        n_pairs = jnp.sum(pair_comp >= 0).astype(jnp.int32)
+        plan3, n_dropped, n_pairs = plan_for(seg3.reshape(-1))
         n_phase2 = jnp.zeros((), jnp.int32)
-        f_p, g_p, vf_p, vg_p = run(pair_comp=pair_comp, div=3)
+        f_p, g_p, vf_p, vg_p = run(plan=plan3, npair=3 * nq, div=3)
         f3 = f_p.reshape(nq, 3)
         g3 = g_p.reshape(nq, 3, d)
         vf3 = jnp.where(top_ok, vf_p.reshape(nq, 3), jnp.inf)

@@ -80,17 +80,100 @@ def plan_tiles(seg: jnp.ndarray, n_segments: int, tile: int) -> TilePlan:
     local = (tidx - tile_start[sot_c]) * tile               # [NT]
     base = start_in_sorted[sot_c] + local
     j = jnp.arange(tile)
-    pos = base[:, None] + j[None, :]                        # [NT, T]
     within = ((local[:, None] + j[None, :] < counts[sot_c][:, None])
               & (seg_of_tile >= 0)[:, None])
-    gathered = order[jnp.clip(pos, 0, p - 1)]
+    # tile t reads CONTIGUOUS sorted positions base[t]..base[t]+T-1, so
+    # express the read as a vmapped dynamic_slice (lowers to a gather
+    # with 128-wide slices = vector loads) instead of a [NT, T] random
+    # element gather (measured 1.87 ms of the 2D bench map_test as
+    # fusion.7 at ~8 ns/element; profiler trace round 5). The source is
+    # padded by one full tile and base clipped to [0, P] so a partial
+    # final tile NEVER triggers dynamic_slice's start clamping (which
+    # would shift its valid elements); padding rows are masked by
+    # `within`.
+    src = jnp.concatenate([order, jnp.full((tile,), -1, order.dtype)])
+    base_c = jnp.clip(base, 0, p)
+    gathered = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(src, (s,), (tile,)))(base_c)
     if packed:
-        # the [NT, T] gather reads the sorted KEYS and strips the segment
-        # bits in-place — no [P] `order` array is ever materialised
+        # the slices read the sorted KEYS and strip the segment bits
+        # in-place — no [P] `order` array is ever materialised
         gathered = gathered & (p2 - 1)
     pair_ids = jnp.where(within, gathered, -1)
     return TilePlan(pair_ids=pair_ids, tile_seg=seg_of_tile,
                     n_tiles=n_tiles)
+
+
+def plan_tiles_for_slots(seg: jnp.ndarray, uniq: jnp.ndarray,
+                         max_cells: int, n_segments: int, tile: int):
+    """plan_tiles directly from RAW slot ids + the sorted active-slot
+    list — no per-pair slot->compact translation.
+
+    seg: [P] raw slot ids per pair (-1 inactive); uniq: [n_segments]
+    SORTED unique active slots, int32-max padded. Compact segment s
+    covers the pairs whose slot equals uniq[s]; pairs whose slot is
+    absent from uniq are dropped (they sort between segment ranges and
+    no range covers them).
+
+    Returns (TilePlan, n_in_plan). The plan is ARRAY-IDENTICAL to
+    `plan_tiles(lut_compact(seg, uniq), n_segments, tile)` (gated by
+    tests/test_segmented_plan.py): segments in uniq order = ascending
+    slot order, stable original order within each segment. The point is
+    the cost: the dense-LUT compaction is a [P]-element random gather
+    that measured 1.4 ms of the 2D bench map_test (~8 ns/element,
+    fusion.3 in the round-5 profiler trace), while the segment ranges
+    here come from ONE [2, S]-query binary search over the already
+    sorted keys.
+    """
+    p = seg.shape[0]
+    nt = p // tile + n_segments
+    big = jnp.iinfo(jnp.int32).max
+    in_range = (seg >= 0) & (seg < max_cells)
+    segc = jnp.where(in_range, seg, max_cells).astype(jnp.int32)
+    p2 = 1 << max(0, (p - 1)).bit_length()
+    uq = jnp.where(uniq < big, uniq, max_cells).astype(jnp.int32)
+    if (max_cells + 1) * p2 < 2 ** 31:
+        key = segc * p2 + jnp.arange(p, dtype=jnp.int32)
+        skey = jnp.sort(key)
+        bounds = jnp.searchsorted(
+            skey, jnp.stack([uq, uq + 1]) * p2, side='left'
+        ).astype(jnp.int32)                                  # [2, S]
+        counts = jnp.where(uniq < big, bounds[1] - bounds[0], 0)
+        start_in_sorted = bounds[0]
+        order = skey
+        mask_bits = p2 - 1
+    else:
+        order = jnp.argsort(segc, stable=True).astype(jnp.int32)
+        bc = jnp.bincount(segc, length=max_cells + 1)
+        starts_all = jnp.cumsum(bc) - bc
+        counts = jnp.where(uniq < big, bc[uq], 0)
+        start_in_sorted = starts_all[uq].astype(jnp.int32)
+        mask_bits = -1                                       # no strip
+
+    tiles_per = (counts + tile - 1) // tile
+    tile_start = jnp.cumsum(tiles_per) - tiles_per
+    n_tiles = jnp.sum(tiles_per)
+    tidx = jnp.arange(nt)
+    seg_of_tile = jnp.searchsorted(jnp.cumsum(tiles_per), tidx,
+                                   side='right')
+    seg_of_tile = jnp.where(tidx < n_tiles, seg_of_tile, -1).astype(
+        jnp.int32)
+    sot_c = jnp.clip(seg_of_tile, 0, n_segments - 1)
+    local = (tidx - tile_start[sot_c]) * tile
+    base = start_in_sorted[sot_c] + local
+    j = jnp.arange(tile)
+    within = ((local[:, None] + j[None, :] < counts[sot_c][:, None])
+              & (seg_of_tile >= 0)[:, None])
+    src = jnp.concatenate([order, jnp.full((tile,), -1, order.dtype)])
+    base_c = jnp.clip(base, 0, p)
+    gathered = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(src, (s,), (tile,)))(base_c)
+    if mask_bits >= 0:
+        gathered = gathered & mask_bits
+    pair_ids = jnp.where(within, gathered, -1)
+    plan = TilePlan(pair_ids=pair_ids, tile_seg=seg_of_tile,
+                    n_tiles=n_tiles)
+    return plan, jnp.sum(counts).astype(jnp.int32)
 
 
 def _plan_tiles_scatter_ref(seg: jnp.ndarray, n_segments: int,
