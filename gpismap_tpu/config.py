@@ -182,8 +182,13 @@ class CapacityParam:
     max_cells: int = 4096
     # Max nodes in the map.
     max_nodes: int = 65536
-    # Tile size for segmented per-cell test evaluation.
-    test_tile: int = 128
+    # Tile size for segmented per-cell test evaluation. 256 halves the
+    # Pallas grid steps per 2D query batch; it LOST while the tile plan
+    # was expensive (round-5 mid: 16.4 vs 15.4 ms map_test) and WINS
+    # once the plan got cheap (round-5 late: 10.9 vs 11.4 —
+    # tools/plan_probe.py tile256 rows). 3D keeps 128: its per-cell
+    # remainder padding is costlier (MP=1280 tiles are MXU-bound).
+    test_tile: int = 256
     # Max DISTINCT cluster cells one test batch may touch (bounds the
     # transient per-call factor buffer [max_active, M', M']).
     test_active_cells: int = 512
