@@ -868,7 +868,12 @@ def _eval_pairs(store: ClusterStore, linv_buf: jnp.ndarray,
         # ONE packed scatter back to pair order (dummy-row drop): four
         # separate [P]-target scatters measured as 4 distinct kernels;
         # packing [f, vf, g, vg] into one [NT, T, 2+2D] tile tensor
-        # makes it one (the unpack slices fuse into the blend)
+        # makes it one (the unpack slices fuse into the blend).
+        # Negative result (round-5 trace follow-up): giving every
+        # padding slot its own trailing dump row + unique_indices +
+        # PROMISE_IN_BOUNDS REGRESSED map_test 11 -> 20.7 ms — XLA's
+        # default duplicate-tolerant lowering is already the fast one
+        # here, so the shared dummy row stays.
         mask = (plan.pair_ids >= 0) & (plan.tile_seg[:, None] >= 0)
         tgt = jnp.where(mask, plan.pair_ids, npair).reshape(-1)
         packed_t = jnp.concatenate(

@@ -82,19 +82,11 @@ def plan_tiles(seg: jnp.ndarray, n_segments: int, tile: int) -> TilePlan:
     j = jnp.arange(tile)
     within = ((local[:, None] + j[None, :] < counts[sot_c][:, None])
               & (seg_of_tile >= 0)[:, None])
-    # tile t reads CONTIGUOUS sorted positions base[t]..base[t]+T-1, so
-    # express the read as a vmapped dynamic_slice (lowers to a gather
-    # with 128-wide slices = vector loads) instead of a [NT, T] random
-    # element gather (measured 1.87 ms of the 2D bench map_test as
-    # fusion.7 at ~8 ns/element; profiler trace round 5). The source is
-    # padded by one full tile and base clipped to [0, P] so a partial
-    # final tile NEVER triggers dynamic_slice's start clamping (which
-    # would shift its valid elements); padding rows are masked by
-    # `within`.
-    src = jnp.concatenate([order, jnp.full((tile,), -1, order.dtype)])
-    base_c = jnp.clip(base, 0, p)
-    gathered = jax.vmap(
-        lambda s: jax.lax.dynamic_slice(src, (s,), (tile,)))(base_c)
+    # tile t reads CONTIGUOUS sorted positions base[t]..base[t]+T-1:
+    # one slice-per-index gather (see _slice_rows) instead of a [NT, T]
+    # random element gather (1.87 ms at ~8 ns/element in the round-5
+    # profiler trace).
+    gathered = _slice_rows(order, base, tile, p)
     if packed:
         # the slices read the sorted KEYS and strip the segment bits
         # in-place — no [P] `order` array is ever materialised
@@ -164,16 +156,37 @@ def plan_tiles_for_slots(seg: jnp.ndarray, uniq: jnp.ndarray,
     j = jnp.arange(tile)
     within = ((local[:, None] + j[None, :] < counts[sot_c][:, None])
               & (seg_of_tile >= 0)[:, None])
-    src = jnp.concatenate([order, jnp.full((tile,), -1, order.dtype)])
-    base_c = jnp.clip(base, 0, p)
-    gathered = jax.vmap(
-        lambda s: jax.lax.dynamic_slice(src, (s,), (tile,)))(base_c)
+    gathered = _slice_rows(order, base, tile, p)
     if mask_bits >= 0:
         gathered = gathered & mask_bits
     pair_ids = jnp.where(within, gathered, -1)
     plan = TilePlan(pair_ids=pair_ids, tile_seg=seg_of_tile,
                     n_tiles=n_tiles)
     return plan, jnp.sum(counts).astype(jnp.int32)
+
+
+def _slice_rows(order: jnp.ndarray, base: jnp.ndarray, tile: int,
+                p: int) -> jnp.ndarray:
+    """[NT, T] read of contiguous runs order[base[t] : base[t]+T].
+
+    One lax.gather with a T-wide slice per index. Measured round 5:
+    XLA lowers this (and the equivalent vmapped dynamic_slice —
+    identical HLO) to a while loop of per-tile dynamic slices, ~0.8 us
+    per tile = 1.03 ms at the 2D bench shape — about 2x faster than
+    the [NT, T] random element gather it replaced (1.87 ms at ~8 ns
+    per element); a truly vectorized slice-gather does not exist on
+    this backend. The source is padded by one full tile and base
+    clipped to [0, P] so a partial final tile never triggers start
+    clamping, which would shift its valid elements; padding rows are
+    masked by the caller's `within`."""
+    src = jnp.concatenate([order, jnp.full((tile,), -1, order.dtype)])
+    base_c = jnp.clip(base, 0, p)
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(),
+        start_index_map=(0,))
+    return jax.lax.gather(
+        src, base_c[:, None], dnums, slice_sizes=(tile,),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
 
 
 def _plan_tiles_scatter_ref(seg: jnp.ndarray, n_segments: int,
